@@ -1,0 +1,56 @@
+"""Pairwise point distances, MXU-friendly.
+
+TPU-native replacement for the reference's dense ``torch.cdist`` calls
+(reference: pc_sam/model/common.py:51). All distances here are *squared*
+Euclidean: every consumer in the framework (kNN ordering, interpolation
+weights which use 1/d^2, farthest-from-border argmax) is invariant to the
+monotone sqrt, and skipping it keeps the inner loop on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sq_dist(query: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+    """Squared Euclidean distance matrix via the |q|^2 - 2qk + |k|^2 expansion.
+
+    The cross term is a matmul, which XLA maps onto the MXU; this is the
+    whole reason to prefer the expansion over an explicit difference tensor
+    (which would materialize [..., Nq, Nk, 3] through the VPU).
+
+    Args:
+        query: [..., Nq, D] float array.
+        key: [..., Nk, D] float array.
+
+    Returns:
+        [..., Nq, Nk] squared distances, clamped to >= 0 (the expansion can
+        go slightly negative in floating point).
+    """
+    q2 = jnp.sum(jnp.square(query), axis=-1, keepdims=True)  # [..., Nq, 1]
+    k2 = jnp.sum(jnp.square(key), axis=-1, keepdims=True)  # [..., Nk, 1]
+    # precision="highest": geometry must be exact fp32 — neighbor selection
+    # and farthest-point argmaxes are sensitive to low-precision matmul.
+    qk = jnp.einsum(
+        "...nd,...md->...nm",
+        query,
+        key,
+        precision="highest",
+        preferred_element_type=query.dtype,
+    )
+    d2 = q2 - 2.0 * qk + jnp.swapaxes(k2, -1, -2)
+    return jnp.maximum(d2, 0.0)
+
+
+def sq_dist_to_point(points: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
+    """Squared distance from every point to a single center.
+
+    Args:
+        points: [..., N, D].
+        center: [..., D] (broadcastable against points minus the N axis).
+
+    Returns:
+        [..., N] squared distances.
+    """
+    diff = points - center[..., None, :]
+    return jnp.sum(jnp.square(diff), axis=-1)

@@ -1,0 +1,116 @@
+"""Farthest point sampling (FPS).
+
+TPU-native replacement for the reference's CUDA
+``torkit3d.ops.sample_farthest_points`` (declared reference .gitmodules:16-18,
+used at pc_sam/model/common.py:91,199). Semantics characterized from the call
+sites: iterative farthest-point selection over fp32 coordinates, returning
+[B, G] indices, deterministic, starting from point 0.
+
+FPS is inherently sequential in G, so the implementation is a
+``lax.fori_loop`` over selection steps carrying the running min-distance
+field [B, N]. Each step is one distance update + masked argmax — pure VPU
+work that XLA keeps on-chip. A Pallas kernel (ops/fps_pallas.py) keeps
+points + min-distances pinned in VMEM across all G steps for large N.
+
+Padding contract: ``valid`` marks real points. Invalid points are never
+selected (their min-distance is pinned to -inf); if G exceeds the number of
+valid points the remaining slots repeat the last farthest point, which is
+harmless downstream (duplicate centers produce duplicate tokens).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .distance import sq_dist_to_point
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def fps_xla(
+    points: jnp.ndarray,
+    num_samples: int,
+    *,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Sample ``num_samples`` farthest-point indices per batch row.
+
+    Args:
+        points: [B, N, 3] fp32 coordinates. (Distance math must be fp32 —
+            the reference also casts to float for FPS, common.py:91.)
+        num_samples: number of centers G (static).
+        valid: optional [B, N] bool mask of real points.
+
+    Returns:
+        [B, G] int32 indices into N.
+    """
+    if points.dtype != jnp.float32:
+        points = points.astype(jnp.float32)
+    B, N, _ = points.shape
+    G = num_samples
+
+    neg_inf = jnp.float32(-jnp.inf)
+    # Min squared distance from each point to the selected set so far.
+    min_d = jnp.full((B, N), jnp.inf, dtype=jnp.float32)
+    if valid is not None:
+        min_d = jnp.where(valid, min_d, neg_inf)
+        # Start from the first valid point per row.
+        first = jnp.argmax(valid, axis=1).astype(jnp.int32)
+    else:
+        first = jnp.zeros((B,), dtype=jnp.int32)
+
+    idx_out = jnp.zeros((B, G), dtype=jnp.int32)
+    idx_out = idx_out.at[:, 0].set(first)
+
+    def update(min_d, sel):
+        center = jnp.take_along_axis(points, sel[:, None, None], axis=1)[:, 0]
+        d = sq_dist_to_point(points, center)  # [B, N]
+        return jnp.minimum(min_d, d)
+
+    min_d = update(min_d, first)
+
+    def body(g, carry):
+        min_d, idx_out = carry
+        sel = jnp.argmax(min_d, axis=1).astype(jnp.int32)
+        idx_out = idx_out.at[:, g].set(sel)
+        min_d = update(min_d, sel)
+        return min_d, idx_out
+
+    if G > 1:
+        _, idx_out = jax.lax.fori_loop(1, G, body, (min_d, idx_out))
+    return idx_out
+
+
+def fps(
+    points: jnp.ndarray,
+    num_samples: int,
+    *,
+    valid: jnp.ndarray | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Farthest point sampling with automatic kernel dispatch.
+
+    Uses the Pallas VMEM-resident kernel on TPU when the per-row working set
+    fits in VMEM; falls back to the XLA loop elsewhere (CPU tests, huge N).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            from .fps_pallas import fps_pallas
+
+            return fps_pallas(points, num_samples, valid=valid)
+        except Exception:
+            pass
+    return fps_xla(points, num_samples, valid=valid)
+
+
+def fps_gather(
+    points: jnp.ndarray, num_samples: int, *, valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """FPS returning the sampled coordinates, like the reference's ``fps``
+    wrapper (common.py:12-24)."""
+    idx = fps(points, num_samples, valid=valid)
+    return jnp.take_along_axis(points, idx[..., None], axis=1)

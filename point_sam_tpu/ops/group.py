@@ -1,0 +1,142 @@
+"""Grouping / gathering primitives.
+
+TPU-native replacement for the reference's CUDA ``batch_index_select``
+(reference: pc_sam/model/common.py:7,23) and the grouping helpers built on it
+(``KNNGrouper.forward`` common.py:73-123, ``group_with_centers_and_knn``
+common.py:126-187, voronoi grouping common.py:190-236). Batched gathers are
+XLA-native (``take_along_axis`` lowers to a single fused gather), so no
+custom kernel is needed — the flat-index arithmetic the reference does by
+hand is exactly what XLA's batched gather dimension numbers express.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def batch_index_select(x: jnp.ndarray, idx: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """Gather along ``axis`` with per-batch indices.
+
+    Args:
+        x: [B, N, ...] data.
+        idx: [B, ...] integer indices into axis ``axis`` of x. The leading
+            batch dim must match; trailing dims of idx are free.
+
+    Returns:
+        Gathered array with idx's shape in place of x's ``axis``.
+    """
+    if axis != 1:
+        x = jnp.moveaxis(x, axis, 1)
+    B = x.shape[0]
+    n_extra = x.ndim - 2  # feature dims after the gather axis
+    flat_idx = idx.reshape(B, -1)
+    expanded = flat_idx.reshape(flat_idx.shape + (1,) * n_extra)
+    expanded = jnp.broadcast_to(expanded, flat_idx.shape + x.shape[2:])
+    out = jnp.take_along_axis(x, expanded, axis=1)
+    out = out.reshape(idx.shape + x.shape[2:])
+    if axis != 1:
+        out = jnp.moveaxis(out, len(idx.shape) - 1, axis + len(idx.shape) - 2)
+    return out
+
+
+def group_points(
+    xyz: jnp.ndarray,
+    features: jnp.ndarray,
+    centers: jnp.ndarray,
+    knn_idx: jnp.ndarray,
+    *,
+    radius: float | None = None,
+    centralize_features: bool = False,
+    center_idx: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Build per-patch features [rel_xyz, nbr_feats(, nbr - center_feats)].
+
+    Equivalent of the gather+concat body shared by the reference's
+    ``KNNGrouper.forward`` (common.py:99-120) and
+    ``group_with_centers_and_knn`` (common.py:151-187), with the reference's
+    B -> B*M feature broadcasting handled by ``repeats``.
+
+    Args:
+        xyz: [B, N, 3] coordinates.
+        features: [B*M, N, C] features; B*M must be a multiple of B.
+        centers: [B, G, 3].
+        knn_idx: [B, G, K] int indices into N.
+        radius: optional PointNext-style normalization of relative coords
+            (common.py:106-108).
+        centralize_features: append nbr_feats - center_feats (common.py:116-119).
+        center_idx: [B, G] index of each center in the cloud (required when
+            centralize_features).
+
+    Returns:
+        [B*M, G, K, 3 + C (+ C)] group features.
+    """
+    B = xyz.shape[0]
+    BM = features.shape[0]
+    assert BM % B == 0, (BM, B)
+    repeats = BM // B
+
+    nbr_xyz = batch_index_select(xyz, knn_idx, axis=1)  # [B, G, K, 3]
+    nbr_xyz = nbr_xyz - centers[:, :, None, :]
+    if radius is not None:
+        nbr_xyz = nbr_xyz / radius
+
+    nbr_feats = batch_index_select_repeated(features, knn_idx, repeats)
+
+    if repeats > 1:
+        nbr_xyz = repeat_interleave(nbr_xyz, repeats, axis=0)
+
+    parts = [nbr_xyz, nbr_feats]
+    if centralize_features:
+        assert center_idx is not None
+        center_feats = batch_index_select_repeated(features, center_idx, repeats)
+        parts.append(nbr_feats - center_feats[:, :, None, :])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def batch_index_select_repeated(
+    features: jnp.ndarray, idx: jnp.ndarray, repeats: int
+) -> jnp.ndarray:
+    """Gather [B*M, N, C] features with [B, ...] indices shared across M."""
+    if repeats == 1:
+        return batch_index_select(features, idx, axis=1)
+    idx = repeat_interleave(idx, repeats, axis=0)
+    return batch_index_select(features, idx, axis=1)
+
+
+def repeat_interleave(x: jnp.ndarray, repeats: int, axis: int = 0) -> jnp.ndarray:
+    """View-based repeat_interleave (reference: common.py:277-284)."""
+    if repeats == 1:
+        return x
+    x = jnp.expand_dims(x, axis + 1)
+    tile = [1] * x.ndim
+    tile[axis + 1] = repeats
+    x = jnp.tile(x, tile)
+    new_shape = list(x.shape)
+    new_shape[axis : axis + 2] = [new_shape[axis] * new_shape[axis + 1]]
+    return x.reshape(new_shape)
+
+
+def group_voronoi(
+    xyz: jnp.ndarray,
+    features: jnp.ndarray,
+    centers: jnp.ndarray,
+    nn_idx: jnp.ndarray,
+    *,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Voronoi (1-NN) group features [unit_dir, dist, features].
+
+    Equivalent of the reference's ``NNGrouper.forward`` feature construction
+    and ``group_with_centers_and_nn`` (common.py:203-236).
+
+    Args:
+        xyz: [B, N, 3]. features: [B, N, C]. centers: [B, L, 3].
+        nn_idx: [B, N] index of each point's nearest center.
+
+    Returns:
+        [B, N, 3 + 1 + C].
+    """
+    nbr_xyz = xyz - batch_index_select(centers, nn_idx, axis=1)  # [B, N, 3]
+    dist = jnp.linalg.norm(nbr_xyz, axis=-1, keepdims=True)
+    unit = nbr_xyz / jnp.maximum(dist, eps)
+    return jnp.concatenate([unit, dist, features], axis=-1)

@@ -1,0 +1,132 @@
+"""k-nearest-neighbor search with fixed shapes and bounded memory.
+
+TPU-native replacement for the reference's ``knn_points`` (reference:
+pc_sam/model/common.py:27-56), which materializes the full [B, Nq, Nk]
+``torch.cdist`` matrix. Here the key axis is processed in tiles with a
+running top-k carried through a ``lax.scan``, so memory is
+O(B * Nq * (k + tile)) regardless of Nk — this is what makes the
+G=2048 x N=100k+ eval configuration (reference: evaluation/eval_kitti.py:350-362)
+fit on-chip.
+
+Padding contract: ``key_valid`` marks real keys; padded keys get +inf
+distance and can never be selected as neighbors (required by the bucketed
+eval pipeline, where N varies per scene but shapes are static).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .distance import sq_dist
+
+_INF = jnp.inf
+
+
+def _dense_knn(query, key, k, key_valid):
+    d2 = sq_dist(query, key)  # [..., Nq, Nk]
+    if key_valid is not None:
+        d2 = jnp.where(key_valid[..., None, :], d2, _INF)
+    neg_d, idx = jax.lax.top_k(-d2, k)
+    return -neg_d, idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "key_tile", "dense_max"))
+def knn(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    k: int,
+    *,
+    key_valid: jnp.ndarray | None = None,
+    key_tile: int = 4096,
+    dense_max: int = 8192,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Find the k nearest keys for each query point.
+
+    Args:
+        query: [B, Nq, D] float coordinates.
+        key: [B, Nk, D] float coordinates.
+        k: number of neighbors (static).
+        key_valid: optional [B, Nk] bool; False entries are never selected.
+        key_tile: key-axis tile size for the blocked path.
+        dense_max: below this Nk, compute the dense distance matrix in one shot.
+
+    Returns:
+        (sq_dists [B, Nq, k], indices [B, Nq, k] int32), sorted ascending by
+        distance. Distances are *squared* Euclidean (see ops.distance).
+    """
+    nk = key.shape[-2]
+    if k > nk:
+        raise ValueError(f"k={k} exceeds number of keys {nk}")
+    if nk <= dense_max or nk <= key_tile:
+        return _dense_knn(query, key, k, key_valid)
+
+    num_tiles = -(-nk // key_tile)
+    pad = num_tiles * key_tile - nk
+    if pad:
+        key = jnp.pad(key, [(0, 0)] * (key.ndim - 2) + [(0, pad), (0, 0)])
+        if key_valid is None:
+            key_valid = jnp.arange(nk + pad) < nk
+            key_valid = jnp.broadcast_to(key_valid, key.shape[:-1])
+        else:
+            key_valid = jnp.pad(key_valid, [(0, 0)] * (key_valid.ndim - 1) + [(0, pad)])
+
+    # [T, B, tile, D] tiles scanned sequentially; carry is the running top-k.
+    key_tiles = jnp.moveaxis(
+        key.reshape(key.shape[:-2] + (num_tiles, key_tile, key.shape[-1])), -3, 0
+    )
+    if key_valid is not None:
+        valid_tiles = jnp.moveaxis(
+            key_valid.reshape(key_valid.shape[:-1] + (num_tiles, key_tile)), -2, 0
+        )
+    else:
+        valid_tiles = None
+
+    batch_shape = query.shape[:-2]
+    nq = query.shape[-2]
+    init_d = jnp.full(batch_shape + (nq, k), _INF, dtype=query.dtype)
+    init_i = jnp.zeros(batch_shape + (nq, k), dtype=jnp.int32)
+
+    def body(carry, tile):
+        best_d, best_i = carry
+        if valid_tiles is not None:
+            key_t, valid_t, t_idx = tile
+        else:
+            key_t, t_idx = tile
+            valid_t = None
+        d2 = sq_dist(query, key_t)  # [..., Nq, tile]
+        if valid_t is not None:
+            d2 = jnp.where(valid_t[..., None, :], d2, _INF)
+        local_idx = t_idx * key_tile + jnp.arange(key_tile, dtype=jnp.int32)
+        local_idx = jnp.broadcast_to(local_idx, d2.shape)
+        cat_d = jnp.concatenate([best_d, d2], axis=-1)
+        cat_i = jnp.concatenate([best_i, local_idx], axis=-1)
+        neg_d, sel = jax.lax.top_k(-cat_d, k)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=-1)
+        return (-neg_d, new_i), None
+
+    tiles = (
+        (key_tiles, valid_tiles, jnp.arange(num_tiles, dtype=jnp.int32))
+        if valid_tiles is not None
+        else (key_tiles, jnp.arange(num_tiles, dtype=jnp.int32))
+    )
+    (best_d, best_i), _ = jax.lax.scan(body, (init_d, init_i), tiles)
+    return best_d, best_i
+
+
+def nn1(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    *,
+    key_valid: jnp.ndarray | None = None,
+    key_tile: int = 4096,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single nearest neighbor (k=1), squeezed.
+
+    Replacement for the reference's k==1 fast path (common.py:52-53) and the
+    voronoi assignment (common.py:201). Returns ([B, Nq], [B, Nq] int32).
+    """
+    d, i = knn(query, key, 1, key_valid=key_valid, key_tile=key_tile)
+    return d[..., 0], i[..., 0]

@@ -1,0 +1,23 @@
+"""Test harness config: run everything on an 8-virtual-device CPU backend.
+
+Must set env vars before jax initializes its backends (SURVEY.md §4:
+multi-chip tests via the CPU device-count override stand in for the
+reference's nonexistent distributed tests).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,252 @@
+"""Unit tests for the geometry kernel library vs NumPy brute force.
+
+Mirrors the test strategy recommended in SURVEY.md §4(a): FPS
+monotone-farthest invariant, kNN vs brute force, interpolation weights
+sum to 1, gathers vs fancy indexing.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from point_sam_tpu import ops
+
+
+def brute_knn(query, key, k):
+    d = ((query[:, :, None, :] - key[:, None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d, axis=-1)[..., :k]
+    return np.take_along_axis(d, idx, axis=-1), idx
+
+
+class TestSqDist:
+    def test_matches_numpy(self, rng):
+        q = rng.standard_normal((2, 17, 3), dtype=np.float32)
+        k = rng.standard_normal((2, 23, 3), dtype=np.float32)
+        got = np.asarray(ops.sq_dist(jnp.asarray(q), jnp.asarray(k)))
+        want = ((q[:, :, None, :] - k[:, None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestKNN:
+    @pytest.mark.parametrize("nk,tile", [(100, 4096), (300, 64), (257, 100)])
+    def test_matches_brute_force(self, rng, nk, tile):
+        q = rng.standard_normal((2, 31, 3), dtype=np.float32)
+        k = rng.standard_normal((2, nk, 3), dtype=np.float32)
+        d, i = ops.knn(jnp.asarray(q), jnp.asarray(k), 5, key_tile=tile, dense_max=128)
+        want_d, want_i = brute_knn(q, k, 5)
+        np.testing.assert_allclose(np.asarray(d), want_d, atol=1e-4)
+        # Indices can differ under distance ties; compare distances of picks.
+        picked = np.take_along_axis(
+            ((q[:, :, None, :] - k[:, None, :, :]) ** 2).sum(-1),
+            np.asarray(i),
+            axis=-1,
+        )
+        np.testing.assert_allclose(picked, want_d, atol=1e-4)
+
+    def test_key_valid_mask_excludes_padding(self, rng):
+        k = rng.standard_normal((1, 64, 3), dtype=np.float32)
+        # Put poison points extremely close to the queries but mark invalid.
+        q = rng.standard_normal((1, 8, 3), dtype=np.float32)
+        k[0, :8] = q[0] + 1e-4
+        valid = np.ones((1, 64), bool)
+        valid[0, :8] = False
+        _, i = ops.knn(jnp.asarray(q), jnp.asarray(k), 3, key_valid=jnp.asarray(valid))
+        assert (np.asarray(i) >= 8).all()
+
+    def test_blocked_equals_dense(self, rng):
+        q = rng.standard_normal((2, 16, 3), dtype=np.float32)
+        k = rng.standard_normal((2, 500, 3), dtype=np.float32)
+        d1, _ = ops.knn(jnp.asarray(q), jnp.asarray(k), 4, dense_max=8192)
+        d2, _ = ops.knn(jnp.asarray(q), jnp.asarray(k), 4, dense_max=1, key_tile=128)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+    def test_nn1(self, rng):
+        q = rng.standard_normal((2, 10, 3), dtype=np.float32)
+        k = rng.standard_normal((2, 50, 3), dtype=np.float32)
+        d, i = ops.nn1(jnp.asarray(q), jnp.asarray(k))
+        want_d, want_i = brute_knn(q, k, 1)
+        np.testing.assert_allclose(np.asarray(d), want_d[..., 0], atol=1e-5)
+        assert (np.asarray(i) == want_i[..., 0]).all()
+
+
+def brute_fps(points, g):
+    """Reference NumPy FPS starting at index 0."""
+    n = points.shape[0]
+    idx = np.zeros(g, dtype=np.int64)
+    mind = ((points - points[0]) ** 2).sum(-1)
+    for s in range(1, g):
+        idx[s] = np.argmax(mind)
+        mind = np.minimum(mind, ((points - points[idx[s]]) ** 2).sum(-1))
+    return idx
+
+
+class TestFPS:
+    def test_matches_numpy(self, rng):
+        pts = rng.standard_normal((2, 200, 3), dtype=np.float32)
+        got = np.asarray(ops.fps_xla(jnp.asarray(pts), 16))
+        for b in range(2):
+            want = brute_fps(pts[b], 16)
+            assert (got[b] == want).all(), (got[b], want)
+
+    def test_monotone_farthest_invariant(self, rng):
+        """Each newly selected point is at least as far from the selected set
+        as every later selection is at its own step (greedy max property):
+        the sequence of selection distances is non-increasing."""
+        pts = rng.standard_normal((1, 500, 3), dtype=np.float32)
+        idx = np.asarray(ops.fps_xla(jnp.asarray(pts), 32))[0]
+        sel = pts[0][idx]
+        dists = []
+        for s in range(1, 32):
+            d = ((sel[s] - sel[:s]) ** 2).sum(-1).min()
+            dists.append(d)
+        assert all(a >= b - 1e-5 for a, b in zip(dists[:-1], dists[1:]))
+
+    def test_valid_mask(self, rng):
+        pts = rng.standard_normal((1, 100, 3), dtype=np.float32)
+        pts[0, 50:] = 100.0  # far-away padding that would otherwise win
+        valid = np.arange(100) < 50
+        idx = np.asarray(ops.fps_xla(jnp.asarray(pts), 10, valid=jnp.asarray(valid[None])))
+        assert (idx < 50).all()
+
+    def test_no_duplicates_when_enough_points(self, rng):
+        pts = rng.standard_normal((3, 64, 3), dtype=np.float32)
+        idx = np.asarray(ops.fps_xla(jnp.asarray(pts), 32))
+        for b in range(3):
+            assert len(set(idx[b].tolist())) == 32
+
+
+class TestGroup:
+    def test_batch_index_select(self, rng):
+        x = rng.standard_normal((2, 10, 4), dtype=np.float32)
+        idx = rng.integers(0, 10, (2, 5, 3))
+        got = np.asarray(ops.batch_index_select(jnp.asarray(x), jnp.asarray(idx)))
+        want = np.stack([x[b][idx[b]] for b in range(2)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_group_points_matches_manual(self, rng):
+        B, N, G, K, C = 2, 50, 8, 4, 5
+        xyz = rng.standard_normal((B, N, 3), dtype=np.float32)
+        feats = rng.standard_normal((B, N, C), dtype=np.float32)
+        centers = xyz[:, :G]
+        _, knn_idx = ops.knn(jnp.asarray(centers), jnp.asarray(xyz), K)
+        got = np.asarray(
+            ops.group_points(
+                jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(centers), knn_idx
+            )
+        )
+        ki = np.asarray(knn_idx)
+        for b in range(B):
+            for g in range(G):
+                np.testing.assert_allclose(
+                    got[b, g, :, :3], xyz[b][ki[b, g]] - centers[b, g], atol=1e-6
+                )
+                np.testing.assert_array_equal(got[b, g, :, 3:], feats[b][ki[b, g]])
+
+    def test_group_points_repeats_and_radius(self, rng):
+        B, M, N, G, K = 1, 3, 30, 4, 4
+        xyz = rng.standard_normal((B, N, 3), dtype=np.float32)
+        feats = rng.standard_normal((B * M, N, 1), dtype=np.float32)
+        centers = xyz[:, :G]
+        _, knn_idx = ops.knn(jnp.asarray(centers), jnp.asarray(xyz), K)
+        got = np.asarray(
+            ops.group_points(
+                jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(centers),
+                knn_idx, radius=0.5,
+            )
+        )
+        assert got.shape == (B * M, G, K, 4)
+        ki = np.asarray(knn_idx)
+        # Row m of B*M uses cloud 0's geometry and feature set m.
+        for m in range(M):
+            np.testing.assert_allclose(
+                got[m, 0, :, :3], (xyz[0][ki[0, 0]] - centers[0, 0]) / 0.5, atol=1e-6
+            )
+            np.testing.assert_array_equal(got[m, 0, :, 3:], feats[m][ki[0, 0]])
+
+    def test_repeat_interleave(self, rng):
+        x = rng.standard_normal((2, 3), dtype=np.float32)
+        got = np.asarray(ops.repeat_interleave(jnp.asarray(x), 3, axis=0))
+        want = np.repeat(x, 3, axis=0)
+        np.testing.assert_array_equal(got, want)
+
+    def test_group_voronoi(self, rng):
+        B, N, L, C = 2, 20, 4, 2
+        xyz = rng.standard_normal((B, N, 3), dtype=np.float32)
+        feats = rng.standard_normal((B, N, C), dtype=np.float32)
+        centers = xyz[:, :L]
+        _, nn_idx = ops.nn1(jnp.asarray(xyz), jnp.asarray(centers))
+        got = np.asarray(
+            ops.group_voronoi(
+                jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(centers), nn_idx
+            )
+        )
+        assert got.shape == (B, N, 3 + 1 + C)
+        norms = np.linalg.norm(got[..., :3], axis=-1)
+        dists = got[..., 3]
+        # Unit directions, except points coinciding with their center
+        # (zero vector, matching the reference's clamp semantics).
+        np.testing.assert_allclose(norms[dists > 1e-6], 1.0, atol=1e-4)
+        np.testing.assert_allclose(norms[dists <= 1e-6], 0.0, atol=1e-4)
+
+
+class TestInterp:
+    def test_weights_sum_to_one(self, rng):
+        q = rng.standard_normal((2, 40, 3), dtype=np.float32)
+        k = rng.standard_normal((2, 10, 3), dtype=np.float32)
+        _, w = ops.compute_interp_weights(jnp.asarray(q), jnp.asarray(k))
+        np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-5)
+
+    def test_exact_at_key_location(self, rng):
+        k = rng.standard_normal((1, 10, 3), dtype=np.float32)
+        feats = rng.standard_normal((1, 10, 4), dtype=np.float32)
+        q = k[:, :5]  # queries exactly on keys
+        idx, w = ops.compute_interp_weights(jnp.asarray(q), jnp.asarray(k))
+        out = np.asarray(ops.interpolate_features(jnp.asarray(feats), idx, w))
+        np.testing.assert_allclose(out, feats[:, :5], atol=1e-4)
+
+    def test_interpolate_matches_manual(self, rng):
+        B, L, N, K, C = 2, 6, 15, 3, 4
+        x = rng.standard_normal((B, L, C), dtype=np.float32)
+        idx = rng.integers(0, L, (B, N, K))
+        w = rng.random((B, N, K), dtype=np.float32)
+        got = np.asarray(
+            ops.interpolate_features(jnp.asarray(x), jnp.asarray(idx), jnp.asarray(w))
+        )
+        want = np.einsum("bnkc,bnk->bnc", np.stack([x[b][idx[b]] for b in range(B)]), w)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_repeated_variant(self, rng):
+        B, M, L, N, C = 1, 2, 6, 10, 3
+        x = rng.standard_normal((B * M, L, C), dtype=np.float32)
+        idx = rng.integers(0, L, (B, N, 3))
+        w = rng.random((B, N, 3), dtype=np.float32)
+        got = np.asarray(
+            ops.interpolate_features_repeated(
+                jnp.asarray(x), jnp.asarray(idx), jnp.asarray(w)
+            )
+        )
+        assert got.shape == (B * M, N, C)
+        for m in range(M):
+            want = np.einsum("nkc,nk->nc", x[m][idx[0]], w[0])
+            np.testing.assert_allclose(got[m], want, atol=1e-5)
+
+
+class TestScatter:
+    def test_scatter_max_matches_numpy(self, rng):
+        B, N, L, C = 2, 30, 5, 4
+        x = rng.standard_normal((B, N, C), dtype=np.float32)
+        idx = rng.integers(0, L, (B, N))
+        got = np.asarray(ops.scatter_max(jnp.asarray(x), jnp.asarray(idx), L))
+        want = np.zeros((B, L, C), np.float32)
+        for b in range(B):
+            for l_ in range(L):
+                sel = x[b][idx[b] == l_]
+                if len(sel):
+                    want[b, l_] = sel.max(0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_empty_segment_fill(self, rng):
+        x = rng.standard_normal((1, 4, 2), dtype=np.float32)
+        idx = np.zeros((1, 4), np.int32)  # everything in segment 0
+        got = np.asarray(ops.scatter_max(jnp.asarray(x), jnp.asarray(idx), 3))
+        np.testing.assert_allclose(got[0, 1:], 0.0)
