@@ -1,0 +1,110 @@
+"""Headline benchmark: encoder throughput on 100k-point clouds.
+
+Workload = BASELINE.md north-star config: ViT-L (eva02_large) Point-SAM
+encode of a 100,000-point cloud with G=2048 patches of K=256 neighbors
+(the reference's large-scene eval setting, evaluation/eval_kitti.py:350-362),
+bf16 compute on TPU. "Encode" covers the full tokenize+embed pipeline:
+FPS -> kNN -> grouping -> PointNet patch encoder -> ViT -> out_proj, plus
+the 3-NN interpolation-weight precompute (cached for all later clicks).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
+denominator is a documented engineering estimate of the reference PyTorch
+pipeline on A100 at this config: ViT-L forward over 2048 tokens (~1.2
+TFLOPs, ~8 ms at realistic A100 bf16 throughput) + CUDA FPS + dense
+cdist/topk kNN over [2048 x 100k] + PointNet over 2048x256 groups
+(~0.8 TFLOPs) ==> ~40 ms/cloud ==> 25 clouds/sec. The north-star target is
+10x that (BASELINE.json), i.e. vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+A100_BASELINE_CLOUDS_PER_SEC = 25.0
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from point_sam_tpu.models import (
+        PointCloudSAM,
+        PointSAMConfig,
+        TokenizerConfig,
+        compute_geometry,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    if small:
+        N, G, K, B = 4096, 128, 32, 1
+        vit = "tiny"
+    else:
+        N, G, K, B = 100_000, 2048, 256, 1
+        vit = "eva02_large"
+
+    tok = TokenizerConfig(num_patches=G, patch_size=K)
+    cfg = PointSAMConfig(vit=vit, tokenizer=tok, prompt_iters=5)
+    model = PointCloudSAM(cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(
+        rng.standard_normal((B, N, 3)).astype(np.float32) / 3.0
+    )
+    feats = jnp.asarray(rng.random((B, N, 3)).astype(np.float32))
+
+    # Init params via a cheap single-click predict to create all encoder
+    # params (decoder params too; unused here).
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        coords[:, :1024],
+        feats[:, :1024],
+        coords[:, :1, :],
+        jnp.ones((B, 1), bool),
+        method=model.predict_masks,
+    )
+
+    @jax.jit
+    def encode(variables, coords, feats):
+        geom = compute_geometry(coords, tok)
+        emb, pe = model.apply(
+            variables, coords, feats, geom, method=model.encode
+        )
+        return emb, pe, geom["interp_weight"]
+
+    # Warmup / compile.
+    out = encode(variables, coords, feats)
+    jax.block_until_ready(out)
+
+    iters = 3 if small else 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = encode(variables, coords, feats)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    clouds_per_sec = B / dt
+    result = {
+        "metric": "encode_clouds_per_sec_100k_G2048_K256_vitL"
+        if not small
+        else "encode_clouds_per_sec_small_smoke",
+        "value": round(clouds_per_sec, 3),
+        "unit": "clouds/sec/chip",
+        "vs_baseline": round(clouds_per_sec / A100_BASELINE_CLOUDS_PER_SEC, 3),
+        "ms_per_cloud": round(dt * 1e3 / B, 2),
+        "backend": jax.default_backend(),
+        "baseline_note": "A100 torch estimate 25 clouds/sec (no published "
+        "numbers in reference; see bench.py docstring). north-star: "
+        "vs_baseline >= 10",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Mask decoder (Flax linen).
+
+Equivalent of the reference's ``MaskDecoder`` (reference:
+mask_decoder.py:21-184): concat [iou_token, mask_tokens, sparse prompts],
+broadcast pc embeddings B -> B*M and add dense prompt embeddings, run the
+two-way transformer, upscale the pc tokens to all N points via cached 3-NN
+interpolation + MLP, then per-mask-token hypernetwork MLPs dotted with the
+upscaled per-point features produce mask logits; an IoU head scores each
+mask. Multimask slicing (tokens 1..C on the first click, token 0 after,
+reference :91-95) is a *static* choice here — the click loop is unrolled.
+
+The hypernet-dot is the [B*M, C, D] x [B*M, N, D]^T matmul — one of the hot
+ops at large N; it maps straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import interpolate_features_repeated
+from .layers import LayerNorm, MLP
+from .transformer import TwoWayTransformer
+
+Dtype = Any
+
+
+class MaskDecoder(nn.Module):
+    transformer_dim: int = 256
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+    # Two-way transformer shape (reference configs/model/default.yaml:20-26).
+    depth: int = 2
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    dtype: Dtype = jnp.float32
+
+    @property
+    def num_mask_tokens(self) -> int:
+        return self.num_multimask_outputs + 1
+
+    def setup(self):
+        D = self.transformer_dim
+        self.iou_token = self.param(
+            "iou_token", nn.initializers.normal(1.0), (1, D), jnp.float32
+        )
+        self.mask_tokens = self.param(
+            "mask_tokens", nn.initializers.normal(1.0),
+            (self.num_mask_tokens, D), jnp.float32,
+        )
+        self.transformer = TwoWayTransformer(
+            depth=self.depth, embed_dim=D, num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim, dtype=self.dtype,
+        )
+        self.output_upscaling = OutputUpscaling(D, dtype=self.dtype)
+        self.output_hypernetworks_mlps = [
+            MLP(D, D, 3, dtype=self.dtype, name=f"hyper_mlp_{i}")
+            for i in range(self.num_mask_tokens)
+        ]
+        self.iou_prediction_head = MLP(
+            self.iou_head_hidden_dim, self.num_mask_tokens,
+            self.iou_head_depth, dtype=self.dtype,
+        )
+
+    def __call__(
+        self,
+        pc_embeddings: jnp.ndarray,
+        pc_pe: jnp.ndarray,
+        sparse_prompt_embeddings: jnp.ndarray,
+        dense_prompt_embeddings: jnp.ndarray,
+        *,
+        interp_index: jnp.ndarray,
+        interp_weight: jnp.ndarray,
+        prompt_valid: jnp.ndarray | None = None,
+        multimask_output: bool = True,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Predict masks (reference mask_decoder.py:65-184).
+
+        Args:
+            pc_embeddings: [B, G, D] encoder output.
+            pc_pe: [B, G, D] center positional encodings.
+            sparse_prompt_embeddings: [B*M, P, D] click embeddings (padded).
+            dense_prompt_embeddings: [B*M or B, G, D] mask embeddings.
+            interp_index / interp_weight: [B, N, 3] cached 3-NN geometry.
+            prompt_valid: [B*M, P] bool mask of real click slots.
+            multimask_output: static; True -> C = num_multimask_outputs
+                masks (tokens 1..C), False -> 1 mask (token 0).
+
+        Returns:
+            (masks [B*M, C, N], iou_pred [B*M, C]).
+        """
+        BM = sparse_prompt_embeddings.shape[0]
+        D = self.transformer_dim
+
+        output_tokens = jnp.concatenate(
+            [self.iou_token, self.mask_tokens], axis=0
+        ).astype(self.dtype)
+        output_tokens = jnp.broadcast_to(
+            output_tokens[None], (BM, 1 + self.num_mask_tokens, D)
+        )
+        tokens = jnp.concatenate(
+            [output_tokens, sparse_prompt_embeddings.astype(self.dtype)], axis=1
+        )
+        if prompt_valid is not None:
+            token_valid = jnp.concatenate(
+                [
+                    jnp.ones((BM, 1 + self.num_mask_tokens), bool),
+                    prompt_valid,
+                ],
+                axis=1,
+            )
+        else:
+            token_valid = None
+
+        # Broadcast per-cloud tensors to per-mask rows (reference :136-139).
+        repeats = BM // pc_embeddings.shape[0]
+        from ..ops import repeat_interleave
+
+        src = repeat_interleave(pc_embeddings, repeats, axis=0)
+        pos_src = repeat_interleave(pc_pe, repeats, axis=0).astype(self.dtype)
+        if dense_prompt_embeddings.shape[0] != BM:
+            dense_prompt_embeddings = repeat_interleave(
+                dense_prompt_embeddings, BM // dense_prompt_embeddings.shape[0],
+                axis=0,
+            )
+        src = src + dense_prompt_embeddings
+
+        hs, src = self.transformer(src, pos_src, tokens, token_valid=token_valid)
+        iou_token_out = hs[:, 0]
+        mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens]
+
+        # Upscale: 3-NN interpolate pc tokens to all N points, then MLP
+        # (reference :147-164).
+        interp = interpolate_features_repeated(src, interp_index, interp_weight)
+        upscaled = self.output_upscaling(interp)  # [B*M, N, D]
+
+        token_slice = (
+            range(1, self.num_mask_tokens) if multimask_output else range(0, 1)
+        )
+        hyper_in = jnp.stack(
+            [
+                self.output_hypernetworks_mlps[i](mask_tokens_out[:, i])
+                for i in token_slice
+            ],
+            axis=1,
+        )  # [B*M, C, D]
+        masks = jnp.einsum(
+            "bcd,bnd->bcn", hyper_in, upscaled,
+            preferred_element_type=jnp.float32,
+        )
+
+        iou_pred = self.iou_prediction_head(iou_token_out).astype(jnp.float32)
+        iou_pred = iou_pred[:, list(token_slice)]
+        return masks, iou_pred
+
+
+class OutputUpscaling(nn.Module):
+    """Linear-LN-GELU-Linear-GELU on interpolated per-point features
+    (reference mask_decoder.py:53-59)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(
+            x.astype(self.dtype)
+        )
+        x = LayerNorm(dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.gelu(x)

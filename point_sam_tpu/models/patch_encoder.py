@@ -1,0 +1,66 @@
+"""PointNet-style patch encoders (Flax linen).
+
+Equivalents of the reference's ``PatchEncoder`` (per-patch PointNet-seg:
+MLP -> max-pool -> concat[max, x] -> MLP -> max-pool; reference:
+common.py:477-506) and the scatter-based ``PatchEncoderNN`` for the voronoi
+tokenizer (common.py:508-535). The max-pools reduce over the K (group) axis;
+everything is dense fixed-shape tensor work that XLA fuses around the MXU
+matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import gather_segments, scatter_max
+from .layers import PointNetLayer
+
+Dtype = Any
+
+
+class PatchEncoder(nn.Module):
+    """[B, L, K, C_in] group features -> [B, L, C_out] patch embeddings."""
+
+    out_channels: int
+    hidden_dims: Sequence[int] = (128, 512)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point_patches: jnp.ndarray) -> jnp.ndarray:
+        h0, h1 = self.hidden_dims
+        x = PointNetLayer(h0, h0, dtype=self.dtype, name="conv1")(
+            point_patches.astype(self.dtype)
+        )
+        y = jnp.max(x, axis=-2, keepdims=True)  # [B, L, 1, h0]
+        x = jnp.concatenate([jnp.broadcast_to(y, x.shape), x], axis=-1)
+        x = PointNetLayer(h1, self.out_channels, dtype=self.dtype, name="conv2")(x)
+        return jnp.max(x, axis=-2)  # [B, L, C_out]
+
+
+class PatchEncoderNN(nn.Module):
+    """Voronoi variant: per-point features scattered (max) onto centers.
+
+    [B, N, C_in] + nn_idx [B, N] -> [B, L, C_out] (reference common.py:508-535:
+    the max-pool over a patch becomes a segment-max over each center's
+    voronoi cell, broadcast back per point for the concat stage).
+    """
+
+    out_channels: int
+    num_centers: int
+    hidden_dims: Sequence[int] = (128, 512)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point_features: jnp.ndarray, nn_idx: jnp.ndarray):
+        h0, h1 = self.hidden_dims
+        x = PointNetLayer(h0, h0, dtype=self.dtype, name="conv1")(
+            point_features.astype(self.dtype)
+        )
+        y = scatter_max(x, nn_idx, self.num_centers)  # [B, L, h0]
+        x_max = gather_segments(y, nn_idx)  # [B, N, h0]
+        x = jnp.concatenate([x_max, x], axis=-1)
+        x = PointNetLayer(h1, self.out_channels, dtype=self.dtype, name="conv2")(x)
+        return scatter_max(x, nn_idx, self.num_centers)  # [B, L, C_out]

@@ -1,0 +1,264 @@
+"""PointCloudSAM: the top-level promptable segmentation model (Flax linen).
+
+Equivalent of the reference's ``PointCloudSAM`` (reference: pc_sam.py:20-196):
+wires the point-cloud ViT encoder, click/mask prompt encoders and the mask
+decoder; provides the one-shot ``predict_masks`` API (reference :37-88) and
+the training ``__call__`` that encodes once, then runs ``prompt_iters``
+click-simulation iterations (reference :139-194), carrying the
+most-confident mask logits forward as the next iteration's mask prompt.
+
+TPU-first redesign of the click loop:
+- The loop is unrolled over the static ``prompt_iters``; every iteration has
+  static shapes (the prompt buffer grows by one *static* slot per step).
+- Click sampling runs on-device (ops.sampler) instead of the reference's
+  host loops.
+- SAM's two "mask-refinement-only" iterations (reference :128-134, following
+  SAM paper Appendix A): the last iteration is statically click-free; the
+  randomly sampled one is handled with a traced validity bit — the click is
+  computed and then masked out of attention, keeping shapes static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import batch_index_select, sample_prompts
+from .mask_decoder import MaskDecoder
+from .pc_encoder import PatchEmbed, PointCloudEncoder
+from .prompt_encoder import MaskEncoder, PointEncoder
+from .tokenizer import TokenizerConfig, compute_geometry
+from .vit import ViTConfig, get_vit_config
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class PointSAMConfig:
+    """Model hyperparameters (reference configs/model/default.yaml)."""
+
+    vit: str | ViTConfig = "eva02_large"
+    tokenizer: TokenizerConfig = TokenizerConfig(num_patches=1024, patch_size=256)
+    embed_dim: int = 256
+    patch_embed_channels: int = 512
+    num_multimask_outputs: int = 3
+    decoder_depth: int = 2
+    decoder_num_heads: int = 8
+    decoder_mlp_dim: int = 2048
+    prompt_iters: int = 5
+    enable_mask_refinement_iterations: bool = True
+
+    @property
+    def vit_cfg(self) -> ViTConfig:
+        return get_vit_config(self.vit) if isinstance(self.vit, str) else self.vit
+
+
+class PointCloudSAM(nn.Module):
+    cfg: PointSAMConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = PatchEmbed(
+            c.tokenizer, out_channels=c.patch_embed_channels, dtype=self.dtype
+        )
+        self.pc_encoder = PointCloudEncoder(
+            c.vit_cfg,
+            embed_dim=c.embed_dim,
+            patch_embed_channels=c.patch_embed_channels,
+            dtype=self.dtype,
+        )
+        self.point_encoder = PointEncoder(c.embed_dim, dtype=self.dtype)
+        self.mask_encoder = MaskEncoder(c.embed_dim, dtype=self.dtype)
+        self.mask_decoder = MaskDecoder(
+            transformer_dim=c.embed_dim,
+            num_multimask_outputs=c.num_multimask_outputs,
+            depth=c.decoder_depth,
+            num_heads=c.decoder_num_heads,
+            mlp_dim=c.decoder_mlp_dim,
+            dtype=self.dtype,
+        )
+
+    # ---------------------------------------------------------------- encode
+    def encode(self, coords, features, geom, *, deterministic=True):
+        """Tokenize + ViT-encode one point cloud batch.
+
+        Returns (pc_embeddings [B, G, D], pc_pe [B, G, D]).
+        """
+        emb = self.patch_embed(coords, features, geom)
+        pc_embeddings = self.pc_encoder(
+            emb, geom["centers"], deterministic=deterministic
+        )
+        pc_pe = self.point_encoder.pe_layer(geom["centers"])
+        return pc_embeddings, pc_pe
+
+    # ---------------------------------------------------------------- decode
+    def decode(
+        self,
+        pc_embeddings,
+        pc_pe,
+        coords,
+        geom,
+        prompt_coords,
+        prompt_labels,
+        prompt_masks=None,
+        *,
+        prompt_valid=None,
+        multimask_output=True,
+    ):
+        """One decoder pass given cached embeddings (the cheap per-click op).
+
+        Args:
+            prompt_coords: [B*M, P, 3]; prompt_labels: [B*M, P] bool.
+            prompt_masks: optional [B*M, N] logits from a previous pass.
+            prompt_valid: optional [B*M, P] bool padding mask.
+
+        Returns: (masks [B*M, C, N] fp32 logits, iou_pred [B*M, C] fp32).
+        """
+        sparse = self.point_encoder(prompt_coords, prompt_labels)
+        dense = self.mask_encoder(
+            prompt_masks, coords, geom["centers"], geom["knn_idx"]
+        )
+        return self.mask_decoder(
+            pc_embeddings,
+            pc_pe,
+            sparse,
+            dense,
+            interp_index=geom["interp_index"],
+            interp_weight=geom["interp_weight"],
+            prompt_valid=prompt_valid,
+            multimask_output=multimask_output,
+        )
+
+    # ---------------------------------------------- one-shot user-facing API
+    def predict_masks(
+        self,
+        coords,
+        features,
+        prompt_coords,
+        prompt_labels,
+        prompt_masks=None,
+        *,
+        prompt_valid=None,
+        point_valid=None,
+        multimask_output=True,
+    ):
+        """Reference pc_sam.py:37-88: encode + single decode."""
+        geom = compute_geometry(coords, self.cfg.tokenizer, point_valid=point_valid)
+        pc_embeddings, pc_pe = self.encode(coords, features, geom)
+        return self.decode(
+            pc_embeddings,
+            pc_pe,
+            coords,
+            geom,
+            prompt_coords,
+            prompt_labels,
+            prompt_masks,
+            prompt_valid=prompt_valid,
+            multimask_output=multimask_output,
+        )
+
+    # -------------------------------------------------- training click loop
+    def __call__(
+        self,
+        coords,
+        features,
+        gt_masks,
+        *,
+        is_eval: bool = False,
+        point_valid=None,
+    ):
+        """Training/eval forward with simulated clicks (reference :90-196).
+
+        Args:
+            coords: [B, N, 3] unit-sphere-normalized coordinates.
+            features: [B, N, C] point features (colors).
+            gt_masks: [B, M, N] bool.
+            is_eval: static; disables refinement-only iterations so every
+                iteration adds a click (reference :128-134).
+
+        Returns:
+            list (length prompt_iters) of dicts with prompt_coords,
+            prompt_labels, prompt_valid, masks, iou_preds, max_iou_pred_ind,
+            prompt_masks — mirroring the reference output contract (:185-194).
+        """
+        c = self.cfg
+        B, M, N = gt_masks.shape
+        BM = B * M
+        iters = c.prompt_iters
+
+        geom = compute_geometry(coords, c.tokenizer, point_valid=point_valid)
+        pc_embeddings, pc_pe = self.encode(
+            coords, features, geom, deterministic=is_eval
+        )
+
+        # Fixed prompt buffers, one slot per iteration.
+        buf_coords = jnp.zeros((BM, iters, 3), coords.dtype)
+        buf_labels = jnp.zeros((BM, iters), bool)
+        buf_valid = jnp.zeros((BM, iters), bool)
+
+        refinement = c.enable_mask_refinement_iterations and not is_eval
+        if refinement and iters > 1:
+            # One random refinement iteration in [1, iters) (reference :131).
+            sampled_refine = jax.random.randint(
+                self.make_rng("sampler"), (), 1, iters
+            )
+        else:
+            sampled_refine = jnp.asarray(-1, jnp.int32)
+
+        prompt_masks = None
+        outputs = []
+        for i in range(iters):
+            statically_refine = refinement and i == iters - 1
+            if not statically_refine:
+                new_pc, new_pl = sample_prompts(
+                    coords, gt_masks, prompt_masks, point_valid=point_valid
+                )
+                take = (
+                    jnp.asarray(True)
+                    if i == 0
+                    else jnp.asarray(i, jnp.int32) != sampled_refine
+                )
+                buf_coords = buf_coords.at[:, i].set(
+                    jnp.where(take, new_pc[:, 0], 0.0)
+                )
+                buf_labels = buf_labels.at[:, i].set(new_pl[:, 0] & take)
+                buf_valid = buf_valid.at[:, i].set(take)
+
+            masks, iou_preds = self.decode(
+                pc_embeddings,
+                pc_pe,
+                coords,
+                geom,
+                buf_coords[:, : i + 1],
+                buf_labels[:, : i + 1],
+                prompt_masks,
+                prompt_valid=buf_valid[:, : i + 1],
+                multimask_output=(i == 0),
+            )
+
+            if i == 0:
+                max_iou_pred_ind = jnp.argmax(iou_preds, axis=1)  # [B*M]
+                prompt_masks = batch_index_select(
+                    masks, max_iou_pred_ind, axis=1
+                )  # [B*M, N]
+            else:
+                max_iou_pred_ind = jnp.zeros((BM,), jnp.int32)
+                prompt_masks = masks[:, 0]
+
+            outputs.append(
+                dict(
+                    prompt_coords=buf_coords[:, : i + 1],
+                    prompt_labels=buf_labels[:, : i + 1],
+                    prompt_valid=buf_valid[:, : i + 1],
+                    masks=masks,
+                    iou_preds=iou_preds,
+                    max_iou_pred_ind=max_iou_pred_ind,
+                    prompt_masks=prompt_masks,
+                )
+            )
+        return outputs

@@ -1,0 +1,434 @@
+"""Voronoi and hierarchical Point-SAM variants (Flax linen).
+
+Equivalents of the reference's ``PointCloudSAMNN`` (voronoi tokenizer +
+scatter-max mask encoder, reference: pc_sam.py:199-374) and
+``PointCloudSAMHier`` + ``MaskDecoderHier`` (two-level tokenizer with
+two-stage upscaling, reference: pc_sam.py:377-496, mask_decoder.py:214-370).
+
+Shared with the flagship model: the unrolled fixed-shape click loop and the
+device-side prompt sampler. Differences faithfully kept:
+- The voronoi variant groups per point (1-NN center assignment) instead of
+  per patch; its mask encoder is a segment-max PointNet.
+- The hier variant upscales decoder tokens in two interpolation hops
+  (G2 centers -> G1 centers with a skip-concat of level-1 embeddings, then
+  G1 -> N points) and its hypernetworks output transformer_dim/2.
+- The hier reference samples clicks *uniformly from the error region*
+  (pc_sam.py:434 uses sample_prompts, not the adapter); we keep that.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import (
+    batch_index_select,
+    interpolate_features_repeated,
+    repeat_interleave,
+    sample_prompts,
+    sample_prompts_random,
+)
+from .layers import MLP, LayerNorm
+from .mask_decoder import MaskDecoder
+from .pc_encoder import PatchEmbedHier, PatchEmbedNN, PointCloudEncoder
+from .prompt_encoder import MaskEncoderHier, MaskEncoderNN, PointEncoder
+from .tokenizer import (
+    HierTokenizerConfig,
+    compute_geometry_hier,
+    compute_geometry_voronoi,
+)
+from .transformer import TwoWayTransformer
+from .vit import ViTConfig, get_vit_config
+
+Dtype = Any
+
+
+# ============================================================ voronoi (NN)
+@dataclasses.dataclass(frozen=True)
+class VoronoiConfig:
+    vit: str | ViTConfig = "eva02_large"
+    num_patches: int = 1024
+    hidden_dim: int = 256  # per-point MLP width of the patch embed
+    embed_dim: int = 256
+    patch_embed_channels: int = 512
+    num_multimask_outputs: int = 3
+    decoder_depth: int = 2
+    decoder_num_heads: int = 8
+    decoder_mlp_dim: int = 2048
+    prompt_iters: int = 5
+    enable_mask_refinement_iterations: bool = True
+
+    @property
+    def vit_cfg(self) -> ViTConfig:
+        return get_vit_config(self.vit) if isinstance(self.vit, str) else self.vit
+
+
+class PointCloudSAMNN(nn.Module):
+    """Voronoi-tokenizer Point-SAM (reference pc_sam.py:199-374)."""
+
+    cfg: VoronoiConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = PatchEmbedNN(
+            num_patches=c.num_patches,
+            hidden_dim=c.hidden_dim,
+            out_channels=c.patch_embed_channels,
+            dtype=self.dtype,
+        )
+        self.pc_encoder = PointCloudEncoder(
+            c.vit_cfg, embed_dim=c.embed_dim,
+            patch_embed_channels=c.patch_embed_channels, dtype=self.dtype,
+        )
+        self.point_encoder = PointEncoder(c.embed_dim, dtype=self.dtype)
+        self.mask_encoder = MaskEncoderNN(
+            embed_dim=c.embed_dim, num_patches=c.num_patches, dtype=self.dtype
+        )
+        self.mask_decoder = MaskDecoder(
+            transformer_dim=c.embed_dim,
+            num_multimask_outputs=c.num_multimask_outputs,
+            depth=c.decoder_depth,
+            num_heads=c.decoder_num_heads,
+            mlp_dim=c.decoder_mlp_dim,
+            dtype=self.dtype,
+        )
+
+    def encode(self, coords, features, geom, *, deterministic=True):
+        emb = self.patch_embed(coords, features, geom)
+        pc_embeddings = self.pc_encoder(
+            emb, geom["centers"], deterministic=deterministic
+        )
+        pc_pe = self.point_encoder.pe_layer(geom["centers"])
+        return pc_embeddings, pc_pe
+
+    def decode(self, pc_embeddings, pc_pe, coords, geom, prompt_coords,
+               prompt_labels, prompt_masks=None, *, prompt_valid=None,
+               multimask_output=True):
+        sparse = self.point_encoder(prompt_coords, prompt_labels)
+        dense = self.mask_encoder(
+            prompt_masks, coords, geom["centers"], geom["nn_idx"]
+        )
+        return self.mask_decoder(
+            pc_embeddings, pc_pe, sparse, dense,
+            interp_index=geom["interp_index"],
+            interp_weight=geom["interp_weight"],
+            prompt_valid=prompt_valid,
+            multimask_output=multimask_output,
+        )
+
+    def predict_masks(self, coords, features, prompt_coords, prompt_labels,
+                      prompt_masks=None, *, prompt_valid=None,
+                      point_valid=None, multimask_output=True):
+        geom = compute_geometry_voronoi(
+            coords, self.cfg.num_patches, point_valid=point_valid
+        )
+        pc_embeddings, pc_pe = self.encode(coords, features, geom)
+        return self.decode(
+            pc_embeddings, pc_pe, coords, geom, prompt_coords, prompt_labels,
+            prompt_masks, prompt_valid=prompt_valid,
+            multimask_output=multimask_output,
+        )
+
+    def __call__(self, coords, features, gt_masks, *, is_eval=False,
+                 point_valid=None):
+        geom = compute_geometry_voronoi(
+            coords, self.cfg.num_patches, point_valid=point_valid
+        )
+        pc_embeddings, pc_pe = self.encode(
+            coords, features, geom, deterministic=is_eval
+        )
+        return _click_loop(
+            self, pc_embeddings, pc_pe, coords, geom, gt_masks,
+            is_eval=is_eval, point_valid=point_valid, sampler="fixed",
+        )
+
+
+# ================================================================== hier
+@dataclasses.dataclass(frozen=True)
+class HierConfig:
+    vit: str | ViTConfig = "eva02_large"
+    tokenizer: HierTokenizerConfig = HierTokenizerConfig()
+    embed_dim: int = 256
+    patch_embed_channels: int = 512
+    num_multimask_outputs: int = 3
+    decoder_depth: int = 2
+    decoder_num_heads: int = 8
+    decoder_mlp_dim: int = 2048
+    prompt_iters: int = 8
+    enable_mask_refinement_iterations: bool = True
+
+    @property
+    def vit_cfg(self) -> ViTConfig:
+        return get_vit_config(self.vit) if isinstance(self.vit, str) else self.vit
+
+
+class MaskDecoderHier(nn.Module):
+    """Two-stage upscaling decoder (reference mask_decoder.py:214-370)."""
+
+    transformer_dim: int = 256
+    encoder_dim: int = 128  # level-1 embedding width for the skip concat
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+    depth: int = 2
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    dtype: Dtype = jnp.float32
+
+    @property
+    def num_mask_tokens(self):
+        return self.num_multimask_outputs + 1
+
+    @nn.compact
+    def __call__(self, pc_embeddings, pc_pe, sparse_prompt_embeddings,
+                 dense_prompt_embeddings, *, geom, embeddings_l1,
+                 prompt_valid=None, multimask_output=True):
+        D = self.transformer_dim
+        BM = sparse_prompt_embeddings.shape[0]
+
+        iou_token = self.param("iou_token", nn.initializers.normal(1.0),
+                               (1, D), jnp.float32)
+        mask_tokens = self.param("mask_tokens", nn.initializers.normal(1.0),
+                                 (self.num_mask_tokens, D), jnp.float32)
+        output_tokens = jnp.broadcast_to(
+            jnp.concatenate([iou_token, mask_tokens], 0)[None].astype(self.dtype),
+            (BM, 1 + self.num_mask_tokens, D),
+        )
+        tokens = jnp.concatenate(
+            [output_tokens, sparse_prompt_embeddings.astype(self.dtype)], axis=1
+        )
+        token_valid = None
+        if prompt_valid is not None:
+            token_valid = jnp.concatenate(
+                [jnp.ones((BM, 1 + self.num_mask_tokens), bool), prompt_valid],
+                axis=1,
+            )
+
+        repeats = BM // pc_embeddings.shape[0]
+        src = repeat_interleave(pc_embeddings, repeats, axis=0)
+        pos_src = repeat_interleave(pc_pe, repeats, axis=0).astype(self.dtype)
+        if dense_prompt_embeddings.shape[0] != BM:
+            dense_prompt_embeddings = repeat_interleave(
+                dense_prompt_embeddings,
+                BM // dense_prompt_embeddings.shape[0], axis=0,
+            )
+        src = src + dense_prompt_embeddings
+
+        hs, src = TwoWayTransformer(
+            depth=self.depth, embed_dim=D, num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim, dtype=self.dtype, name="transformer",
+        )(src, pos_src, tokens, token_valid=token_valid)
+        iou_token_out = hs[:, 0]
+        mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens]
+
+        # Stage 2->1: interpolate G2 tokens onto G1 centers, concat level-1
+        # embeddings (skip connection), project (reference :322-323).
+        x = interpolate_features_repeated(
+            src, geom["interp_index_21"], geom["interp_weight_21"]
+        )  # [B*M, G1, D]
+        e1 = repeat_interleave(
+            embeddings_l1.astype(x.dtype), BM // embeddings_l1.shape[0], axis=0
+        )
+        x = jnp.concatenate([x, e1], axis=-1)
+        x = _mlp_ln(x, D, D, self.dtype, "output_upscaling2", final_gelu=False)
+
+        # Stage 1->points: interpolate G1 features to all N (reference :324-325).
+        x = interpolate_features_repeated(
+            x, geom["interp_index"], geom["interp_weight"]
+        )  # [B*M, N, D]
+        upscaled = _mlp_ln(x, D // 2, D // 2, self.dtype, "output_upscaling1",
+                           final_gelu=True)
+
+        token_slice = (
+            range(1, self.num_mask_tokens) if multimask_output else range(0, 1)
+        )
+        hyper_in = jnp.stack(
+            [
+                MLP(D, D // 2, 3, dtype=self.dtype, name=f"hyper_mlp_{i}")(
+                    mask_tokens_out[:, i]
+                )
+                for i in token_slice
+            ],
+            axis=1,
+        )
+        masks = jnp.einsum("bcd,bnd->bcn", hyper_in, upscaled,
+                           preferred_element_type=jnp.float32)
+        iou_pred = MLP(
+            self.iou_head_hidden_dim, self.num_mask_tokens,
+            self.iou_head_depth, dtype=self.dtype, name="iou_prediction_head",
+        )(iou_token_out).astype(jnp.float32)
+        return masks, iou_pred[:, list(token_slice)]
+
+
+def _mlp_ln(x, hidden, out, dtype, name, *, final_gelu):
+    """Linear-LN-GELU-Linear(-GELU) upscaling stack (reference :242-254)."""
+    x = nn.Dense(hidden, dtype=dtype, param_dtype=jnp.float32,
+                 name=f"{name}_fc1")(x.astype(dtype))
+    x = LayerNorm(dtype=dtype, name=f"{name}_norm")(x)
+    x = nn.gelu(x)
+    x = nn.Dense(out, dtype=dtype, param_dtype=jnp.float32,
+                 name=f"{name}_fc2")(x)
+    return nn.gelu(x) if final_gelu else x
+
+
+class PointCloudSAMHier(nn.Module):
+    """Hierarchical Point-SAM (reference pc_sam.py:377-496)."""
+
+    cfg: HierConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = PatchEmbedHier(
+            c.tokenizer, out_channels=c.patch_embed_channels, dtype=self.dtype
+        )
+        self.pc_encoder = PointCloudEncoder(
+            c.vit_cfg, embed_dim=c.embed_dim,
+            patch_embed_channels=c.patch_embed_channels, dtype=self.dtype,
+        )
+        self.point_encoder = PointEncoder(c.embed_dim, dtype=self.dtype)
+        self.mask_encoder = MaskEncoderHier(
+            embed_dim=c.embed_dim, radius=c.tokenizer.radius, dtype=self.dtype
+        )
+        self.mask_decoder = MaskDecoderHier(
+            transformer_dim=c.embed_dim,
+            num_multimask_outputs=c.num_multimask_outputs,
+            depth=c.decoder_depth,
+            num_heads=c.decoder_num_heads,
+            mlp_dim=c.decoder_mlp_dim,
+            dtype=self.dtype,
+        )
+
+    def encode(self, coords, features, geom, *, deterministic=True):
+        x1, x2 = self.patch_embed(coords, features, geom)
+        pc_embeddings = self.pc_encoder(
+            x2, geom["centers2"], deterministic=deterministic
+        )
+        pc_pe = self.point_encoder.pe_layer(geom["centers2"])
+        return pc_embeddings, pc_pe, x1
+
+    def decode(self, pc_embeddings, pc_pe, coords, geom, embeddings_l1,
+               prompt_coords, prompt_labels, prompt_masks=None, *,
+               prompt_valid=None, multimask_output=True):
+        sparse = self.point_encoder(prompt_coords, prompt_labels)
+        _, dense = self.mask_encoder(
+            prompt_masks, coords, geom["centers1"], geom["knn_idx1"],
+            geom["centers2"], geom["knn_idx2"],
+        )
+        return self.mask_decoder(
+            pc_embeddings, pc_pe, sparse, dense,
+            geom=geom, embeddings_l1=embeddings_l1,
+            prompt_valid=prompt_valid, multimask_output=multimask_output,
+        )
+
+    def predict_masks(self, coords, features, prompt_coords, prompt_labels,
+                      prompt_masks=None, *, prompt_valid=None,
+                      point_valid=None, multimask_output=True):
+        geom = compute_geometry_hier(
+            coords, self.cfg.tokenizer, point_valid=point_valid
+        )
+        pc_embeddings, pc_pe, x1 = self.encode(coords, features, geom)
+        return self.decode(
+            pc_embeddings, pc_pe, coords, geom, x1, prompt_coords,
+            prompt_labels, prompt_masks, prompt_valid=prompt_valid,
+            multimask_output=multimask_output,
+        )
+
+    def __call__(self, coords, features, gt_masks, *, is_eval=False,
+                 point_valid=None):
+        geom = compute_geometry_hier(
+            coords, self.cfg.tokenizer, point_valid=point_valid
+        )
+        pc_embeddings, pc_pe, x1 = self.encode(
+            coords, features, geom, deterministic=is_eval
+        )
+        return _click_loop(
+            self, pc_embeddings, pc_pe, coords, geom, gt_masks,
+            is_eval=is_eval, point_valid=point_valid,
+            sampler="random",  # reference pc_sam.py:434
+            decode_extra=dict(embeddings_l1=x1),
+        )
+
+
+# ===================================================== shared click loop
+def _click_loop(model, pc_embeddings, pc_pe, coords, geom, gt_masks, *,
+                is_eval, point_valid, sampler, decode_extra=None):
+    """The shared unrolled prompt-iteration loop (reference pc_sam.py:139-194;
+    same semantics as PointCloudSAM.__call__)."""
+    c = model.cfg
+    B, M, N = gt_masks.shape
+    BM = B * M
+    iters = c.prompt_iters
+
+    buf_coords = jnp.zeros((BM, iters, 3), coords.dtype)
+    buf_labels = jnp.zeros((BM, iters), bool)
+    buf_valid = jnp.zeros((BM, iters), bool)
+
+    refinement = c.enable_mask_refinement_iterations and not is_eval
+    if refinement and iters > 1:
+        sampled_refine = jax.random.randint(
+            model.make_rng("sampler"), (), 1, iters
+        )
+    else:
+        sampled_refine = jnp.asarray(-1, jnp.int32)
+
+    prompt_masks = None
+    outputs = []
+    for i in range(iters):
+        statically_refine = refinement and i == iters - 1
+        if not statically_refine:
+            if sampler == "random":
+                new_pc, new_pl = sample_prompts_random(
+                    model.make_rng("sampler"), coords, gt_masks, prompt_masks
+                )
+            else:
+                new_pc, new_pl = sample_prompts(
+                    coords, gt_masks, prompt_masks, point_valid=point_valid
+                )
+            take = (
+                jnp.asarray(True)
+                if i == 0
+                else jnp.asarray(i, jnp.int32) != sampled_refine
+            )
+            buf_coords = buf_coords.at[:, i].set(jnp.where(take, new_pc[:, 0], 0.0))
+            buf_labels = buf_labels.at[:, i].set(new_pl[:, 0] & take)
+            buf_valid = buf_valid.at[:, i].set(take)
+
+        extra = decode_extra or {}
+        if extra:
+            masks, iou_preds = model.decode(
+                pc_embeddings, pc_pe, coords, geom, extra["embeddings_l1"],
+                buf_coords[:, : i + 1], buf_labels[:, : i + 1], prompt_masks,
+                prompt_valid=buf_valid[:, : i + 1], multimask_output=(i == 0),
+            )
+        else:
+            masks, iou_preds = model.decode(
+                pc_embeddings, pc_pe, coords, geom,
+                buf_coords[:, : i + 1], buf_labels[:, : i + 1], prompt_masks,
+                prompt_valid=buf_valid[:, : i + 1], multimask_output=(i == 0),
+            )
+
+        if i == 0:
+            max_iou_pred_ind = jnp.argmax(iou_preds, axis=1)
+            prompt_masks = batch_index_select(masks, max_iou_pred_ind, axis=1)
+        else:
+            max_iou_pred_ind = jnp.zeros((BM,), jnp.int32)
+            prompt_masks = masks[:, 0]
+
+        outputs.append(
+            dict(
+                prompt_coords=buf_coords[:, : i + 1],
+                prompt_labels=buf_labels[:, : i + 1],
+                prompt_valid=buf_valid[:, : i + 1],
+                masks=masks,
+                iou_preds=iou_preds,
+                max_iou_pred_ind=max_iou_pred_ind,
+                prompt_masks=prompt_masks,
+            )
+        )
+    return outputs

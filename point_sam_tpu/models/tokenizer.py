@@ -1,0 +1,129 @@
+"""Point-cloud tokenizer geometry (pure functions, no parameters).
+
+The reference computes FPS centers + kNN indices inside ``torch.no_grad()``
+within the patch-embed modules (reference: common.py:89-97,198-201,
+pc_encoder.py:230-238). Here that geometry is factored out as pure functions
+of the coordinates: it is non-differentiable, identical across click
+iterations, reusable by the mask prompt encoder (which regroups onto the
+*encoder's* centers, prompt_encoder.py:123-131), and — crucially for TPU —
+it lets the serving path cache everything shape-static per point cloud.
+
+All functions honor ``point_valid`` padding masks so that a single compiled
+executable serves any N up to the bucket size (the reference instead
+*reconfigures the grouper per scene*, eval_kitti.py:350-362).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import batch_index_select, compute_interp_weights, fps, knn, nn1
+
+
+@dataclasses.dataclass(frozen=True)
+class TokenizerConfig:
+    """Grouping hyperparameters (reference configs/model/*.yaml:6-9)."""
+
+    num_patches: int = 512
+    patch_size: int = 64
+    radius: float | None = None
+    centralize_features: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class HierTokenizerConfig:
+    num_patches: tuple[int, int] = (2048, 512)
+    patch_size: tuple[int, int] = (32, 32)
+    radius: tuple[float, float] | None = None
+
+
+def compute_geometry(
+    coords: jnp.ndarray,
+    cfg: TokenizerConfig,
+    *,
+    point_valid: jnp.ndarray | None = None,
+    with_interp: bool = True,
+) -> dict:
+    """FPS centers + per-center kNN + (optionally) 3-NN interp weights.
+
+    Equivalent of the no-grad block of KNNGrouper.forward (common.py:89-97)
+    plus the decoder's lazily cached interpolation weights
+    (mask_decoder.py:151-156), computed eagerly since they are pure geometry.
+
+    Returns dict(fps_idx [B,G], centers [B,G,3], knn_idx [B,G,K],
+                 interp_index [B,N,3], interp_weight [B,N,3]).
+    """
+    coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
+    fps_idx = fps(coords, cfg.num_patches, valid=point_valid)
+    centers = batch_index_select(coords, fps_idx, axis=1)
+    _, knn_idx = knn(centers, coords, cfg.patch_size, key_valid=point_valid)
+    out = dict(fps_idx=fps_idx, centers=centers, knn_idx=knn_idx)
+    if with_interp:
+        idx, w = compute_interp_weights(coords, centers)
+        out["interp_index"], out["interp_weight"] = idx, w
+    return out
+
+
+def compute_geometry_voronoi(
+    coords: jnp.ndarray,
+    num_patches: int,
+    *,
+    point_valid: jnp.ndarray | None = None,
+    with_interp: bool = True,
+) -> dict:
+    """FPS centers + per-point 1-NN center assignment (NNGrouper,
+    common.py:198-201)."""
+    coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
+    fps_idx = fps(coords, num_patches, valid=point_valid)
+    centers = batch_index_select(coords, fps_idx, axis=1)
+    _, nn_idx = nn1(coords, centers)
+    out = dict(fps_idx=fps_idx, centers=centers, nn_idx=nn_idx)
+    if with_interp:
+        idx, w = compute_interp_weights(coords, centers)
+        out["interp_index"], out["interp_weight"] = idx, w
+    return out
+
+
+def compute_geometry_hier(
+    coords: jnp.ndarray,
+    cfg: HierTokenizerConfig,
+    *,
+    point_valid: jnp.ndarray | None = None,
+    with_interp: bool = True,
+) -> dict:
+    """Two-level geometry (PatchEmbedHier, pc_encoder.py:230-238): level 1
+    groups the cloud; level 2 groups the level-1 centers, taking the first
+    G2 of them as centers (``use_fps=False`` path, common.py:94-96)."""
+    coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
+    g1, g2 = cfg.num_patches
+    k1, k2 = cfg.patch_size
+
+    fps_idx1 = fps(coords, g1, valid=point_valid)
+    centers1 = batch_index_select(coords, fps_idx1, axis=1)
+    _, knn_idx1 = knn(centers1, coords, k1, key_valid=point_valid)
+
+    centers2 = centers1[:, :g2]
+    _, knn_idx2 = knn(centers2, centers1, k2)
+
+    out = dict(
+        fps_idx1=fps_idx1,
+        centers1=centers1,
+        knn_idx1=knn_idx1,
+        centers2=centers2,
+        knn_idx2=knn_idx2,
+        # Aliases used by shared decoder code paths.
+        centers=centers2,
+    )
+    if with_interp:
+        idx21, w21 = compute_interp_weights(centers1, centers2)
+        idx1n, w1n = compute_interp_weights(coords, centers1)
+        out.update(
+            interp_index_21=idx21,
+            interp_weight_21=w21,
+            interp_index=idx1n,
+            interp_weight=w1n,
+        )
+    return out

@@ -1,0 +1,174 @@
+"""EVA02-style Vision Transformer backbone (Flax linen).
+
+Our own implementation of the timm EVA/EVA02 blocks *as the reference uses
+them*: blocks are invoked positionally with no rotary embeddings and no
+attention mask (reference: pc_encoder.py:138-139 — ``for block in
+transformer.blocks: x = block(x)``), and the model's own patch/pos-embed and
+cls token are bypassed entirely. So the backbone here is exactly the block
+stack + final norm.
+
+Block anatomy (matching timm ``Eva`` as instantiated by
+``eva02_*`` / ``eva_giant_*``, cf. configs/model/*.yaml:10-13):
+- pre-norm attention: separate q/k/v projections with biased q/v and
+  bias-free k (EVA02) or a fused qkv (EVA-giant);
+- pre-norm MLP: SwiGLU with an inner LayerNorm ("sub-LN", EVA02) or a plain
+  GELU MLP (EVA-giant).
+
+Softmax and layernorm statistics run in fp32; matmuls run in the module
+``dtype`` (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import LayerNorm
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    embed_dim: int
+    depth: int
+    num_heads: int
+    mlp_hidden_dim: int
+    swiglu: bool = True  # SwiGLU MLP (EVA02) vs plain GELU MLP (EVA-giant)
+    mlp_norm: bool = True  # sub-LN inside the MLP (EVA02 "scale_mlp")
+    qkv_fused: bool = False  # fused qkv projection (EVA-giant)
+    drop_path_rate: float = 0.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+# Shapes match the timm models named in the reference configs
+# (configs/model/{base,default,giant}.yaml:12): hidden = int(dim * 4 * 2/3)
+# for the SwiGLU EVA02 family; EVA-giant uses a plain MLP with hidden 6144.
+VIT_PRESETS: dict[str, ViTConfig] = {
+    "eva02_base": ViTConfig(768, 12, 12, int(768 * 4 * 2 / 3)),
+    "eva02_large": ViTConfig(1024, 24, 16, int(1024 * 4 * 2 / 3)),
+    "eva_giant": ViTConfig(1408, 40, 16, 6144, swiglu=False, mlp_norm=False,
+                           qkv_fused=True),
+    # Small config for tests / CI.
+    "tiny": ViTConfig(128, 2, 4, 256),
+}
+
+
+class EvaAttention(nn.Module):
+    cfg: ViTConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        B, L, D = x.shape
+        if c.qkv_fused:
+            qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32,
+                           name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="q_proj")(x)
+            k = nn.Dense(D, use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="k_proj")(x)
+            v = nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="v_proj")(x)
+
+        def split_heads(t):
+            return t.reshape(B, L, c.num_heads, c.head_dim)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        # [B, H, Lq, Lk] logits in fp32 for a stable softmax.
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn / jnp.sqrt(jnp.float32(c.head_dim))
+        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(B, L, D)
+        return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="proj")(out)
+
+
+class SwiGLU(nn.Module):
+    """SwiGLU MLP with optional inner norm (EVA02 sub-LN)."""
+
+    hidden_dim: int
+    out_dim: int
+    use_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1_g")(x)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1_x")(x)
+        x = nn.silu(g) * h
+        if self.use_norm:
+            x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="fc2")(x)
+
+
+class GeluMLP(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="fc2")(x)
+
+
+class EvaBlock(nn.Module):
+    cfg: ViTConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        c = self.cfg
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = EvaAttention(c, dtype=self.dtype, name="attn")(h)
+        x = x + h
+
+        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        if c.swiglu:
+            h = SwiGLU(c.mlp_hidden_dim, c.embed_dim, use_norm=c.mlp_norm,
+                       dtype=self.dtype, name="mlp")(h)
+        else:
+            h = GeluMLP(c.mlp_hidden_dim, c.embed_dim, dtype=self.dtype,
+                        name="mlp")(h)
+        return x + h
+
+
+class ViT(nn.Module):
+    """Block stack + final norm (the parts of timm Eva the reference uses:
+    pc_encoder.py:138-142)."""
+
+    cfg: ViTConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = x.astype(self.dtype)
+        for i in range(self.cfg.depth):
+            x = EvaBlock(self.cfg, dtype=self.dtype, name=f"blocks_{i}")(
+                x, deterministic=deterministic
+            )
+        return LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+def get_vit_config(name: str) -> ViTConfig:
+    if name not in VIT_PRESETS:
+        raise KeyError(f"unknown ViT preset {name!r}; have {sorted(VIT_PRESETS)}")
+    return VIT_PRESETS[name]

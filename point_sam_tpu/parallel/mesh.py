@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's distribution layer, which is
+entirely HF Accelerate DDP over NCCL (reference: train.py:163-176,
+SURVEY.md §2.4). Here parallelism is declarative: a 1-D ``data`` mesh axis,
+batch arrays sharded on axis 0, parameters replicated (optionally sharded
+along ``fsdp`` for the giant model), and XLA inserts the gradient
+all-reduce over ICI inside the compiled step — there is no hand-written
+collective and nothing like ``no_sync`` to manage (grad accumulation simply
+sums inside the jitted step).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    devices: list | None = None, *, axis_name: str = DATA_AXIS
+) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch) over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch pytree with axis-0 sharded over the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
