@@ -17,7 +17,7 @@ from .pc_encoder import (
     PatchEmbedNN,
     PointCloudEncoder,
 )
-from .pc_sam import PointCloudSAM, PointSAMConfig
+from .pc_sam import PointCloudSAM, PointSAMConfig, init_variables
 from .pc_sam_variants import (
     HierConfig,
     MaskDecoderHier,
@@ -58,6 +58,7 @@ __all__ = [
     "PointCloudEncoder",
     "PointCloudSAM",
     "PointSAMConfig",
+    "init_variables",
     "HierConfig",
     "MaskDecoderHier",
     "PointCloudSAMHier",

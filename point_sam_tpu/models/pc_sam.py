@@ -57,6 +57,38 @@ class PointSAMConfig:
         return get_vit_config(self.vit) if isinstance(self.vit, str) else self.vit
 
 
+def init_variables(model, rng, *, num_points: int = 256, num_features: int = 3):
+    """Initialize ALL model parameters (encoder, prompt encoders including
+    the mask path, decoder) with tiny synthetic inputs.
+
+    Flax creates parameters lazily at first use, so initializing through an
+    API that skips the mask-prompt path (e.g. a single un-masked
+    ``predict_masks``) produces an incomplete param tree. This helper traces
+    the dedicated ``_init_probe`` method which exercises every path. Works
+    for PointCloudSAM and its voronoi/hier variants.
+
+    The number of points only shapes the init trace — parameters are
+    shape-independent of N/G/K, so variables from here work at any size.
+    """
+    import jax
+
+    n = num_points
+    g = getattr(getattr(model.cfg, "tokenizer", None), "num_patches", None)
+    if isinstance(g, tuple):  # hier
+        n = max(n, g[0] * 2)
+    elif g is not None:
+        n = max(n, g * 2)
+    else:  # voronoi
+        n = max(n, model.cfg.num_patches * 2)
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0) if rng is None else rng)
+    coords = jax.random.uniform(k0, (1, n, 3), jnp.float32, -0.9, 0.9)
+    feats = jax.random.uniform(k1, (1, n, num_features), jnp.float32)
+    return jax.jit(
+        lambda c, f: model.init({"params": k0}, c, f,
+                                method=model._init_probe)
+    )(coords, feats)
+
+
 class PointCloudSAM(nn.Module):
     cfg: PointSAMConfig
     dtype: Dtype = jnp.float32
@@ -161,6 +193,23 @@ class PointCloudSAM(nn.Module):
             prompt_valid=prompt_valid,
             multimask_output=multimask_output,
         )
+
+    def _init_probe(self, coords, features):
+        """Initialization-only forward that traces every parametric path
+        (flax params are created lazily on first use; initializing via
+        ``predict_masks`` without a mask prompt would leave the mask
+        encoder's parameters uncreated). Use via ``init_variables``."""
+        geom = compute_geometry(coords, self.cfg.tokenizer)
+        pc_embeddings, pc_pe = self.encode(coords, features, geom)
+        B, N = coords.shape[:2]
+        pc = coords[:, :1, :]
+        pl = jnp.ones((B, 1), bool)
+        a = self.decode(pc_embeddings, pc_pe, coords, geom, pc, pl, None,
+                        multimask_output=True)
+        pm = jnp.zeros((B, N), jnp.float32)
+        b = self.decode(pc_embeddings, pc_pe, coords, geom, pc, pl, pm,
+                        multimask_output=False)
+        return a, b
 
     # -------------------------------------------------- training click loop
     def __call__(

@@ -134,6 +134,19 @@ class PointCloudSAMNN(nn.Module):
             multimask_output=multimask_output,
         )
 
+    def _init_probe(self, coords, features):
+        """See models.pc_sam.init_variables."""
+        geom = compute_geometry_voronoi(coords, self.cfg.num_patches)
+        pc_embeddings, pc_pe = self.encode(coords, features, geom)
+        B, N = coords.shape[:2]
+        pc, pl = coords[:, :1, :], jnp.ones((B, 1), bool)
+        a = self.decode(pc_embeddings, pc_pe, coords, geom, pc, pl, None,
+                        multimask_output=True)
+        pm = jnp.zeros((B, N), jnp.float32)
+        b = self.decode(pc_embeddings, pc_pe, coords, geom, pc, pl, pm,
+                        multimask_output=False)
+        return a, b
+
     def __call__(self, coords, features, gt_masks, *, is_eval=False,
                  point_valid=None):
         geom = compute_geometry_voronoi(
@@ -338,6 +351,19 @@ class PointCloudSAMHier(nn.Module):
             prompt_labels, prompt_masks, prompt_valid=prompt_valid,
             multimask_output=multimask_output,
         )
+
+    def _init_probe(self, coords, features):
+        """See models.pc_sam.init_variables."""
+        geom = compute_geometry_hier(coords, self.cfg.tokenizer)
+        pc_embeddings, pc_pe, x1 = self.encode(coords, features, geom)
+        B, N = coords.shape[:2]
+        pc, pl = coords[:, :1, :], jnp.ones((B, 1), bool)
+        a = self.decode(pc_embeddings, pc_pe, coords, geom, x1, pc, pl, None,
+                        multimask_output=True)
+        pm = jnp.zeros((B, N), jnp.float32)
+        b = self.decode(pc_embeddings, pc_pe, coords, geom, x1, pc, pl, pm,
+                        multimask_output=False)
+        return a, b
 
     def __call__(self, coords, features, gt_masks, *, is_eval=False,
                  point_valid=None):

@@ -1,0 +1,239 @@
+"""Training entry point: config -> model -> data -> mesh-sharded train loop.
+
+Equivalent of the reference's ``train.py`` (386 LoC torch/Accelerate trainer,
+SURVEY.md §3.1), redesigned for TPU:
+
+- the whole step (click-simulation forward, loss, backward, clip, AdamW,
+  schedule) is one jitted XLA program over a data mesh (parallel.train_step);
+- checkpoint/resume via orbax (replaces accelerate save_state/load_state,
+  reference train.py:244-252,341-343) with keep-1 rotation matching
+  ``total_limit=1`` (reference train.py:163-165);
+- metrics mirror the reference's wandb scalar surface (train.py:284-304):
+  total loss + per-iteration {acc, fg_acc, bg_acc, iou, loss_mask, loss_iou}
+  for the first and last click iterations; wandb is optional and gated;
+- validation computes IoU-per-click and best-of-multimask IoU on the val
+  split (reference train.py:197-235).
+
+CLI: ``python -m point_sam_tpu.train.trainer --config large [k=v ...]``
+(hydra-style dotted overrides, reference train.py:65).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("overrides", nargs="*", default=[])
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..datasets.build import BatchIterator, build_dataset
+    from ..parallel import (
+        TrainState,
+        make_mesh,
+        make_optimizer,
+        make_train_step,
+        replicate,
+        shard_batch,
+    )
+    from ..utils.config import build_model, load_config
+    from .schedule import warmup_multistep
+
+    cfg = load_config(args.config, args.overrides)
+    seed = cfg.get("seed", 42)
+
+    # ------------------------------------------------------------- model
+    model = build_model(cfg.model)
+    print(f"model: {type(model).__name__} ({cfg.model.get('vit')})")
+
+    # -------------------------------------------------------------- data
+    train_ds = build_dataset(cfg.train_dataset, seed=seed)
+    train_iter = BatchIterator(
+        train_ds,
+        cfg.train_dataloader.batch_size,
+        shuffle=cfg.train_dataloader.get("shuffle", True),
+        drop_last=cfg.train_dataloader.get("drop_last", True),
+        seed=seed,
+    )
+    val_iter = None
+    if cfg.get("val_freq", 0) > 0:
+        val_ds = build_dataset(cfg.val_dataset, seed=seed + 1)
+        val_iter = BatchIterator(
+            val_ds, cfg.val_dataloader.batch_size, shuffle=False,
+            drop_last=False, seed=seed,
+        )
+
+    # --------------------------------------------- optimizer + schedule
+    sched = warmup_multistep(
+        cfg.lr,
+        cfg.scheduler.milestones,
+        gamma=cfg.scheduler.get("gamma", 0.1),
+        warmup_factor=cfg.scheduler.get("warmup_factor", 0.001),
+        warmup_iters=cfg.scheduler.get("warmup_iters", 1000),
+    )
+    tx = make_optimizer(
+        sched,
+        weight_decay=cfg.get("weight_decay", 0.1),
+        max_grad_value=cfg.get("max_grad_value", 1.0),
+    )
+
+    # ------------------------------------------------------------- init
+    first = next(iter(train_iter))
+    init_batch = {k: jnp.asarray(v) for k, v in first.items()}
+    init_fn = jax.jit(
+        lambda k0, k1, b: model.init(
+            {"params": k0, "sampler": k1},
+            b["coords"], b["features"], b["gt_masks"],
+        )
+    )
+    variables = init_fn(
+        jax.random.PRNGKey(seed), jax.random.PRNGKey(seed + 1), init_batch
+    )
+    params = variables["params"]
+    buffers = {k: v for k, v in variables.items() if k != "params"}
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e6:.1f}M")
+
+    # TODO(pretrained): Uni3D initialization (reference train.py:101-121)
+    # goes through utils.convert once torch checkpoints are available.
+
+    mesh = make_mesh()
+    accum = cfg.get("gradient_accumulation_steps", 1)
+    state = TrainState.create(params, buffers, tx)
+    state = replicate(state, mesh)
+    step_fn = make_train_step(model, tx, mesh, accum_steps=accum)
+
+    # ----------------------------------------------------- checkpointing
+    project_dir = Path(cfg.get("project_dir", "./logs/run"))
+    ckpt_dir = (project_dir / "checkpoints").absolute()
+    import orbax.checkpoint as ocp
+
+    ckpt_mgr = ocp.CheckpointManager(
+        ckpt_dir,
+        options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+    )
+    start_epoch, global_step = 0, 0
+    latest = ckpt_mgr.latest_step()
+    if latest is not None:
+        restored = ckpt_mgr.restore(
+            latest, args=ocp.args.StandardRestore(jax.device_get(state))
+        )
+        state = replicate(restored, mesh)
+        global_step = int(jax.device_get(state.step))
+        start_epoch = latest
+        print(f"resumed from epoch {latest} (global step {global_step})")
+
+    # ------------------------------------------------------------ logging
+    wandb_run = None
+    if cfg.get("log_with") == "wandb":
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project=cfg.get("project_name", "point-sam-tpu"),
+                name=cfg.get("run_name"), config=json.loads(json.dumps(cfg)),
+            )
+        except Exception as e:  # offline environments
+            print(f"wandb unavailable ({e}); logging to stdout")
+
+    def log(metrics: dict, step: int):
+        if wandb_run is not None:
+            wandb_run.log(metrics, step=step)
+        else:
+            line = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+            print(f"[step {step}] {line}", flush=True)
+
+    # ------------------------------------------------------------- train
+    max_epochs = cfg.get("max_epochs", 10000)
+    max_steps = cfg.get("max_steps", 5_000_000)
+    rng = jax.random.PRNGKey(seed + 2)
+
+    for epoch in range(start_epoch, max_epochs):
+        t_epoch = time.perf_counter()
+        for batch_np in train_iter:
+            rng, step_rng = jax.random.split(rng)
+            with mesh:
+                batch = shard_batch(batch_np, mesh)
+                state, metrics = step_fn(state, batch, step_rng)
+            global_step += 1
+            if global_step % cfg.get("log_freq", 20) == 0:
+                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                host["lr"] = float(sched(global_step))
+                log({f"train/{k}": v for k, v in host.items()}, global_step)
+            if global_step >= max_steps:
+                break
+
+        print(
+            f"epoch {epoch} done in {time.perf_counter()-t_epoch:.1f}s "
+            f"(step {global_step})", flush=True,
+        )
+
+        if val_iter is not None and (epoch + 1) % cfg.val_freq == 0:
+            val_metrics = validate(model, state, val_iter, mesh)
+            log({f"val/{k}": v for k, v in val_metrics.items()}, global_step)
+
+        if (epoch + 1) % cfg.get("save_freq", 5) == 0 or global_step >= max_steps:
+            ckpt_mgr.save(epoch + 1, args=ocp.args.StandardSave(
+                jax.device_get(state)))
+            ckpt_mgr.wait_until_finished()
+
+        if global_step >= max_steps:
+            break
+
+    if wandb_run is not None:
+        wandb_run.finish()
+    return state
+
+
+def validate(model, state, val_iter, mesh):
+    """IoU per click + best-of-multimask IoU (reference train.py:197-235)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import compute_iou
+
+    @jax.jit
+    def val_step(variables, coords, features, gt_masks):
+        outputs = model.apply(variables, coords, features, gt_masks,
+                              is_eval=True)
+        B, M, N = gt_masks.shape
+        gt_flat = gt_masks.reshape(B * M, N)
+        ious, best_multi = [], None
+        for i, out in enumerate(outputs):
+            if i == 0:
+                best = jnp.take_along_axis(
+                    out["masks"], out["max_iou_pred_ind"][:, None, None], axis=1
+                )[:, 0]
+                multi_iou = compute_iou(out["masks"], gt_flat[:, None, :])
+                best_multi = jnp.max(multi_iou, axis=1)
+            else:
+                best = out["masks"][:, 0]
+            ious.append(compute_iou(best, gt_flat))
+        return jnp.stack(ious), best_multi
+
+    variables = {"params": state.params, **state.buffers}
+    agg = defaultdict(list)
+    for batch_np in val_iter:
+        coords = jnp.asarray(batch_np["coords"])
+        feats = jnp.asarray(batch_np["features"])
+        gt = jnp.asarray(batch_np["gt_masks"])
+        ious, best_multi = jax.device_get(val_step(variables, coords, feats, gt))
+        for i in range(len(ious)):
+            agg[f"iou({i})"].append(ious[i])
+        agg["best_multimask_iou"].append(best_multi)
+    return {k: float(np.concatenate(v).mean()) for k, v in agg.items()}
+
+
+if __name__ == "__main__":
+    main()
