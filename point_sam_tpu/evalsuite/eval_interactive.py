@@ -1,0 +1,275 @@
+"""Interactive-segmentation evaluation: mean IoU per click count.
+
+Equivalent of the reference's ``evaluation/eval_kitti.py`` (KITTI-360 crops
+from the AGILE3D eval data; SURVEY.md §3.2): per scene, normalize into the
+unit sphere, take one sample per GT instance (filtered to
+``sum >= min_mask_points`` and ``< max_mask_fraction * N``,
+eval_kitti.py:249-255), run the full click-simulation loop with
+``is_eval=True`` semantics (a farthest-from-error-border click every
+iteration), and report mean IoU at click k plus per-category means
+(eval_kitti.py:374-390).
+
+TPU-first difference: instead of reconfiguring the grouper per scene
+(eval_kitti.py:350-362), scenes are padded into N-size buckets with
+validity masks, so each (bucket, G, K) compiles once and every scene reuses
+a cached executable. The same tokenizer rule is applied at bucket level:
+N > 30000 -> G=2048/K=256, else G=min(2048, next_pow2(N)) (README.md:69).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+
+def filter_masks(
+    gt_masks: np.ndarray,
+    min_points: int = 25,
+    max_fraction: float = 0.9,
+) -> np.ndarray:
+    """Instance filter of eval_kitti.py:249-255. Returns kept row indices."""
+    n = gt_masks.shape[1]
+    sizes = gt_masks.sum(1)
+    keep = (sizes >= min_points) & (sizes < max_fraction * n)
+    return np.nonzero(keep)[0]
+
+
+def normalize_scene(xyz: np.ndarray, rgb: np.ndarray | None):
+    """Unit-sphere + color normalization (eval_kitti.py:73-88,101-102)."""
+    shift = xyz.mean(0)
+    xyz = xyz - shift
+    scale = np.linalg.norm(xyz, axis=1).max()
+    xyz = xyz / max(scale, 1e-12)
+    if rgb is None:
+        rgb = np.full((len(xyz), 3), 0.5, np.float32)
+    else:
+        rgb = np.asarray(rgb, np.float32)
+        if rgb.max() > 1.5:  # 0..255 -> normalized
+            rgb = rgb / 255.0
+        rgb = (rgb - 0.5) / 0.5
+    return xyz.astype(np.float32), rgb
+
+
+class InteractiveEvaluator:
+    """Bucketed click-simulation evaluator over a PointCloudSAM model."""
+
+    def __init__(self, model, variables, *, num_clicks: int = 5,
+                 point_buckets=(8192, 32768, 131072, 262144),
+                 masks_per_batch: int = 4):
+        self.model = model
+        self.variables = variables
+        self.num_clicks = num_clicks
+        self.point_buckets = tuple(point_buckets)
+        self.masks_per_batch = masks_per_batch
+        self._fns = {}
+
+    def _bucket(self, n):
+        for b in self.point_buckets:
+            if n <= b:
+                return b
+        return int(-(-n // self.point_buckets[-1]) * self.point_buckets[-1])
+
+    def _tokenizer_for(self, n):
+        from ..models.tokenizer import TokenizerConfig
+
+        tok = self.model.cfg.tokenizer
+        if n > 30000:
+            return TokenizerConfig(2048, 256, radius=tok.radius,
+                                   centralize_features=tok.centralize_features)
+        g = 64
+        while g < min(2048, n):
+            g *= 2
+        k = min(tok.patch_size, max(2, n // 4))
+        return TokenizerConfig(min(g, tok.num_patches * 2), k,
+                               radius=tok.radius,
+                               centralize_features=tok.centralize_features)
+
+    def _build_fn(self, n_pad, tok, m):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import compute_iou
+        from ..models.tokenizer import compute_geometry
+        from ..ops import batch_index_select, sample_prompts
+
+        model = self.model
+        clicks = self.num_clicks
+
+        @jax.jit
+        def run(variables, coords, feats, valid, gt_masks, mask_valid):
+            geom = compute_geometry(coords, tok, point_valid=valid)
+            emb, pc_pe = model.apply(
+                variables, coords, feats, geom, method=model.encode
+            )
+            B, M, N = gt_masks.shape
+            BM = B * M
+            buf_c = jnp.zeros((BM, clicks, 3), jnp.float32)
+            buf_l = jnp.zeros((BM, clicks), bool)
+            buf_v = jnp.zeros((BM, clicks), bool)
+            prompt_masks = None
+            ious = []
+            gt_flat = gt_masks.reshape(BM, N)
+            for i in range(clicks):
+                pc, pl = sample_prompts(
+                    coords, gt_masks, prompt_masks, point_valid=valid
+                )
+                buf_c = buf_c.at[:, i].set(pc[:, 0])
+                buf_l = buf_l.at[:, i].set(pl[:, 0])
+                buf_v = buf_v.at[:, i].set(True)
+                masks, iou_preds = model.apply(
+                    variables, emb, pc_pe, coords, geom,
+                    buf_c[:, : i + 1], buf_l[:, : i + 1], prompt_masks,
+                    prompt_valid=buf_v[:, : i + 1],
+                    multimask_output=(i == 0),
+                    method=model.decode,
+                )
+                if i == 0:
+                    best_ind = jnp.argmax(iou_preds, axis=1)
+                    prompt_masks = batch_index_select(masks, best_ind, axis=1)
+                else:
+                    prompt_masks = masks[:, 0]
+                pm = jnp.where(valid.repeat(M, axis=0), prompt_masks, -1e9)
+                ious.append(compute_iou(pm, gt_flat))
+            return jnp.stack(ious, 0)  # [clicks, B*M]
+
+        return run
+
+    def evaluate_scene(self, xyz, rgb, gt_masks, categories=None):
+        """Run the click loop for every instance of one (normalized) scene.
+
+        Returns dict: per-instance IoU-per-click [num_instances, clicks].
+        """
+        import jax.numpy as jnp
+
+        n = len(xyz)
+        n_pad = self._bucket(n)
+        tok = self._tokenizer_for(n)
+        m_all = len(gt_masks)
+
+        coords = np.zeros((1, n_pad, 3), np.float32)
+        coords[0, :n] = xyz
+        feats = np.zeros((1, n_pad, rgb.shape[-1]), np.float32)
+        feats[0, :n] = rgb
+        valid = np.zeros((1, n_pad), bool)
+        valid[0, :n] = True
+
+        key = (n_pad, tok.num_patches, tok.patch_size, self.masks_per_batch)
+        if key not in self._fns:
+            self._fns[key] = self._build_fn(n_pad, tok, self.masks_per_batch)
+        run = self._fns[key]
+
+        # Batch instances in chunks of masks_per_batch (padded by repeating
+        # the first mask; padded rows are discarded).
+        out = np.zeros((m_all, self.num_clicks), np.float32)
+        mb = self.masks_per_batch
+        for s in range(0, m_all, mb):
+            chunk = gt_masks[s : s + mb]
+            real = len(chunk)
+            if real < mb:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[:1], mb - real, axis=0)]
+                )
+            gm = np.zeros((1, mb, n_pad), bool)
+            gm[0, :, :n] = chunk
+            mv = np.zeros((1, mb), bool)
+            mv[0, :real] = True
+            ious = np.asarray(
+                run(self.variables, jnp.asarray(coords), jnp.asarray(feats),
+                    jnp.asarray(valid), jnp.asarray(gm), jnp.asarray(mv))
+            )  # [clicks, mb]
+            out[s : s + real] = ious[:, :real].T
+        return out
+
+
+def evaluate_directory(
+    model, variables, scene_dir: str, *, num_clicks: int = 5,
+    max_scenes: int | None = None, category_from_name=None,
+):
+    """Evaluate every .ply scene in a directory, KITTI-360 protocol.
+
+    Scene format: binary/ascii PLY with optional per-vertex colors plus a
+    sidecar ``<name>.masks.npy`` bool array [M, N] of instance masks (the
+    AGILE3D crops ship instance ids; the converter in
+    evalsuite/prepare_kitti.py produces this layout).
+    """
+    from ..utils.ply import load_ply
+
+    evaluator = InteractiveEvaluator(model, variables, num_clicks=num_clicks)
+    per_click = defaultdict(list)
+    per_cat = defaultdict(lambda: defaultdict(list))
+
+    scenes = sorted(Path(scene_dir).glob("*.ply"))
+    if max_scenes:
+        scenes = scenes[:max_scenes]
+    for scene in scenes:
+        xyz, rgb = load_ply(scene)
+        mask_file = scene.with_suffix(".masks.npy")
+        if not mask_file.exists():
+            print(f"skip {scene.name}: no {mask_file.name}")
+            continue
+        gt = np.load(mask_file)
+        keep = filter_masks(gt)
+        if len(keep) == 0:
+            continue
+        gt = gt[keep]
+        xyz_n, rgb_n = normalize_scene(xyz, rgb)
+        ious = evaluator.evaluate_scene(xyz_n, rgb_n, gt)
+        cat = category_from_name(scene.name) if category_from_name else "all"
+        for k in range(num_clicks):
+            per_click[k].extend(ious[:, k].tolist())
+            per_cat[cat][k].extend(ious[:, k].tolist())
+        print(f"{scene.name}: {len(gt)} instances, "
+              + " ".join(f"IoU@{k+1}={np.mean(ious[:, k]):.3f}"
+                         for k in range(num_clicks)))
+
+    report = {
+        "mean_iou_per_click": {
+            k + 1: float(np.mean(v)) for k, v in sorted(per_click.items())
+        },
+        "per_category": {
+            c: {k + 1: float(np.mean(v)) for k, v in sorted(d.items())}
+            for c, d in per_cat.items()
+        },
+        "num_instances": len(per_click[0]) if per_click else 0,
+    }
+    return report
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="large")
+    parser.add_argument("--ckpt_path", default=None,
+                        help="orbax checkpoint dir or torch safetensors file")
+    parser.add_argument("--scene_dir", required=True)
+    parser.add_argument("--num_clicks", type=int, default=5)
+    parser.add_argument("--max_scenes", type=int, default=None)
+    parser.add_argument("overrides", nargs="*", default=[])
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from ..models import init_variables
+    from ..utils.config import build_model, load_config
+
+    cfg = load_config(args.config, args.overrides)
+    model = build_model(cfg.model)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    if args.ckpt_path:
+        from ..utils.checkpoint import load_variables
+
+        variables = load_variables(args.ckpt_path, variables)
+
+    report = evaluate_directory(
+        model, variables, args.scene_dir,
+        num_clicks=args.num_clicks, max_scenes=args.max_scenes,
+    )
+    print(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,90 @@ def _dense_knn(query, key, k, key_valid):
     return -neg_d, idx.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("k", "key_tile", "dense_max"))
+def _small_k_knn(query, key, k, key_valid, *, query_tile: int = 8192):
+    """k-NN by k successive masked min-extractions (no sort/top_k).
+
+    For tiny k (the 3-NN interpolation weights and 1-NN voronoi assignment)
+    this is far faster on TPU than ``lax.top_k``: each extraction is a pure
+    VPU min/argmin reduction over the key axis. Queries are processed in
+    tiles to bound the distance-matrix working set.
+    """
+    nq = query.shape[-2]
+    nk = key.shape[-2]
+    num_tiles = -(-nq // query_tile)
+    pad = num_tiles * query_tile - nq
+    q = query
+    if pad:
+        q = jnp.pad(query, [(0, 0)] * (query.ndim - 2) + [(0, pad), (0, 0)])
+    q_tiles = jnp.moveaxis(
+        q.reshape(q.shape[:-2] + (num_tiles, query_tile, q.shape[-1])), -3, 0
+    )  # [T, ..., tile, D]
+
+    def per_tile(carry, q_t):
+        d2 = sq_dist(q_t, key)  # [..., tile, Nk]
+        if key_valid is not None:
+            d2 = jnp.where(key_valid[..., None, :], d2, _INF)
+        ds, idxs = [], []
+        iota = jnp.arange(nk, dtype=jnp.int32)
+        for _ in range(k):
+            i = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # [..., tile]
+            dv = jnp.min(d2, axis=-1)
+            ds.append(dv)
+            idxs.append(i)
+            d2 = jnp.where(iota == i[..., None], _INF, d2)
+        return carry, (jnp.stack(ds, -1), jnp.stack(idxs, -1))
+
+    _, (d_t, i_t) = jax.lax.scan(per_tile, 0, q_tiles)
+    # [T, ..., tile, k] -> [..., Nq, k]
+    d_out = jnp.moveaxis(d_t, 0, -3).reshape(
+        query.shape[:-2] + (num_tiles * query_tile, k)
+    )[..., :nq, :]
+    i_out = jnp.moveaxis(i_t, 0, -3).reshape(
+        query.shape[:-2] + (num_tiles * query_tile, k)
+    )[..., :nq, :]
+    return d_out, i_out
+
+
+def _approx_knn(query, key, k, key_valid, *, recall_target: float,
+                query_tile: int = 512):
+    """Large-k k-NN via ``lax.approx_min_k`` (TPU-optimized partial
+    reduction). Used for the tokenizer's G x K neighbor search over huge
+    clouds where exact merge-sort selection dominates encode time. Neighbor
+    sets are approximate with the given recall target; grouping is a
+    max-pooled PointNet, so a sub-1% miss rate is immaterial to mask
+    quality (validated in tests/test_ops_geometry.py::TestKNN::test_approx_recall).
+    """
+    nq = query.shape[-2]
+    num_tiles = -(-nq // query_tile)
+    pad = num_tiles * query_tile - nq
+    q = query
+    if pad:
+        q = jnp.pad(query, [(0, 0)] * (query.ndim - 2) + [(0, pad), (0, 0)])
+    q_tiles = jnp.moveaxis(
+        q.reshape(q.shape[:-2] + (num_tiles, query_tile, q.shape[-1])), -3, 0
+    )
+
+    def per_tile(carry, q_t):
+        d2 = sq_dist(q_t, key)
+        if key_valid is not None:
+            d2 = jnp.where(key_valid[..., None, :], d2, _INF)
+        d, i = jax.lax.approx_min_k(d2, k, recall_target=recall_target)
+        return carry, (d, i.astype(jnp.int32))
+
+    _, (d_t, i_t) = jax.lax.scan(per_tile, 0, q_tiles)
+    d_out = jnp.moveaxis(d_t, 0, -3).reshape(
+        query.shape[:-2] + (num_tiles * query_tile, k)
+    )[..., :nq, :]
+    i_out = jnp.moveaxis(i_t, 0, -3).reshape(
+        query.shape[:-2] + (num_tiles * query_tile, k)
+    )[..., :nq, :]
+    return d_out, i_out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "key_tile", "dense_max", "method", "recall_target"),
+)
 def knn(
     query: jnp.ndarray,
     key: jnp.ndarray,
@@ -42,6 +125,8 @@ def knn(
     key_valid: jnp.ndarray | None = None,
     key_tile: int = 4096,
     dense_max: int = 8192,
+    method: str = "auto",
+    recall_target: float = 0.99,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Find the k nearest keys for each query point.
 
@@ -50,8 +135,14 @@ def knn(
         key: [B, Nk, D] float coordinates.
         k: number of neighbors (static).
         key_valid: optional [B, Nk] bool; False entries are never selected.
-        key_tile: key-axis tile size for the blocked path.
+        key_tile: key-axis tile size for the blocked exact path.
         dense_max: below this Nk, compute the dense distance matrix in one shot.
+        method: "auto" | "exact" | "approx" | "small_k".
+            auto picks: small_k for k <= 4; the TPU-optimized approx_min_k
+            reduction for large selections (k > 4, Nk > dense_max) on TPU;
+            exact elsewhere. approx trades <=1-recall_target neighbor recall
+            for a large speedup of the tokenizer's G x K search.
+        recall_target: per-neighbor recall for the approx path.
 
     Returns:
         (sq_dists [B, Nq, k], indices [B, Nq, k] int32), sorted ascending by
@@ -60,6 +151,18 @@ def knn(
     nk = key.shape[-2]
     if k > nk:
         raise ValueError(f"k={k} exceeds number of keys {nk}")
+    if method == "auto":
+        if k <= 4:
+            method = "small_k"
+        elif nk > dense_max and jax.default_backend() == "tpu":
+            method = "approx"
+        else:
+            method = "exact"
+    if method == "small_k":
+        return _small_k_knn(query, key, k, key_valid)
+    if method == "approx":
+        return _approx_knn(query, key, k, key_valid,
+                           recall_target=recall_target)
     if nk <= dense_max or nk <= key_tile:
         return _dense_knn(query, key, k, key_valid)
 

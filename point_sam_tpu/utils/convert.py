@@ -1,0 +1,337 @@
+"""Torch-checkpoint -> JAX-pytree conversion.
+
+Covers both weight sources the reference uses:
+- the released Point-SAM safetensors checkpoint (full model state dict,
+  loaded in the reference with ``safetensors.torch.load_model``,
+  eval_kitti.py:319, demo/app.py:67);
+- Uni3D pretrained encoder weights with the reference's key surgery
+  ``point_encoder.encoder2trans -> patch_proj``, ``point_encoder.pos_embed
+  -> pos_embed``, ``point_encoder.visual -> transformer``
+  (train.py:101-121).
+
+The mapping is declarative regex rules from torch module paths (reference
+pc_sam/model/*.py + timm Eva block naming) to our flax tree paths. Linear
+weights are transposed ([out, in] -> [in, out]); LayerNorm weight -> scale;
+fused EVA-giant qkv is split into q/k/v thirds with the separate q/v bias
+parameters.
+
+Because this environment is zero-egress, real-checkpoint parity cannot be
+executed here; instead tests/test_convert.py mechanically verifies that a
+synthetic state dict with the reference's exact key/shape surface converts
+onto 100% of our parameter tree with 0 unused keys — the mapping itself is
+validated by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def _t(w):  # torch Linear weight -> flax kernel
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _id(w):
+    return np.asarray(w)
+
+
+# Rules: (regex on torch key, target template, transform).
+# Templates use \1.. backrefs; targets are /-joined flax paths rooted at
+# the variables dict ("params/..." or "buffers/...").
+_SEQ_LIN = {"0": "Dense_0", "3": "Dense_1"}
+_SEQ_LN = {"1": "LayerNorm_0/LayerNorm_0"}
+
+_RULES: list[tuple[str, str, object]] = []
+
+
+def _rule(pat, tgt, tr):
+    _RULES.append((re.compile(pat + r"$"), tgt, tr))
+
+
+def _pointnet_rules(src_prefix, dst_prefix):
+    for conv in ("conv1", "conv2"):
+        for s, d in _SEQ_LIN.items():
+            _rule(rf"{src_prefix}\.{conv}\.{s}\.weight",
+                  f"{dst_prefix}/{conv}/{d}/kernel", _t)
+            _rule(rf"{src_prefix}\.{conv}\.{s}\.bias",
+                  f"{dst_prefix}/{conv}/{d}/bias", _id)
+        for s, d in _SEQ_LN.items():
+            _rule(rf"{src_prefix}\.{conv}\.{s}\.weight",
+                  f"{dst_prefix}/{conv}/{d}/scale", _id)
+            _rule(rf"{src_prefix}\.{conv}\.{s}\.bias",
+                  f"{dst_prefix}/{conv}/{d}/bias", _id)
+
+
+def _attention_rules(src_prefix, dst_prefix):
+    for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        _rule(rf"{src_prefix}\.{p}\.weight", f"{dst_prefix}/{p}/kernel", _t)
+        _rule(rf"{src_prefix}\.{p}\.bias", f"{dst_prefix}/{p}/bias", _id)
+
+
+# ------------------------------------------------------- encoder tokenizer
+_pointnet_rules(r"pc_encoder\.patch_embed\.patch_encoder",
+                "params/patch_embed/patch_encoder")
+_rule(r"pc_encoder\.patch_proj\.weight", "params/pc_encoder/patch_proj/kernel", _t)
+_rule(r"pc_encoder\.patch_proj\.bias", "params/pc_encoder/patch_proj/bias", _id)
+_rule(r"pc_encoder\.pos_embed\.0\.weight",
+      "params/pc_encoder/pos_embed/Dense_0/kernel", _t)
+_rule(r"pc_encoder\.pos_embed\.0\.bias",
+      "params/pc_encoder/pos_embed/Dense_0/bias", _id)
+_rule(r"pc_encoder\.pos_embed\.2\.weight",
+      "params/pc_encoder/pos_embed/Dense_1/kernel", _t)
+_rule(r"pc_encoder\.pos_embed\.2\.bias",
+      "params/pc_encoder/pos_embed/Dense_1/bias", _id)
+
+# ----------------------------------------------------- timm EVA ViT blocks
+_B = r"pc_encoder\.transformer\.blocks\.(\d+)"
+_BT = r"params/pc_encoder/transformer/blocks_\1"
+for norm in ("norm1", "norm2"):
+    _rule(rf"{_B}\.{norm}\.weight", rf"{_BT}/{norm}/LayerNorm_0/scale", _id)
+    _rule(rf"{_B}\.{norm}\.bias", rf"{_BT}/{norm}/LayerNorm_0/bias", _id)
+for p in ("q_proj", "k_proj", "v_proj"):
+    _rule(rf"{_B}\.attn\.{p}\.weight", rf"{_BT}/attn/{p}/kernel", _t)
+    _rule(rf"{_B}\.attn\.{p}\.bias", rf"{_BT}/attn/{p}/bias", _id)
+_rule(rf"{_B}\.attn\.proj\.weight", rf"{_BT}/attn/proj/kernel", _t)
+_rule(rf"{_B}\.attn\.proj\.bias", rf"{_BT}/attn/proj/bias", _id)
+# EVA-giant fused qkv + separate bias params (timm eva.py):
+_rule(rf"{_B}\.attn\.qkv\.weight", rf"{_BT}/attn/qkv/kernel", _t)
+_rule(rf"{_B}\.attn\.q_bias", rf"{_BT}/attn/qkv/q_bias", _id)
+_rule(rf"{_B}\.attn\.v_bias", rf"{_BT}/attn/qkv/v_bias", _id)
+# SwiGLU MLP (EVA02) / plain MLP (EVA-giant):
+for p in ("fc1_g", "fc1_x", "fc2", "fc1"):
+    _rule(rf"{_B}\.mlp\.{p}\.weight", rf"{_BT}/mlp/{p}/kernel", _t)
+    _rule(rf"{_B}\.mlp\.{p}\.bias", rf"{_BT}/mlp/{p}/bias", _id)
+_rule(rf"{_B}\.mlp\.norm\.weight", rf"{_BT}/mlp/norm/LayerNorm_0/scale", _id)
+_rule(rf"{_B}\.mlp\.norm\.bias", rf"{_BT}/mlp/norm/LayerNorm_0/bias", _id)
+for fin in ("norm", "fc_norm"):
+    _rule(rf"pc_encoder\.transformer\.{fin}\.weight",
+          "params/pc_encoder/transformer/norm/LayerNorm_0/scale", _id)
+    _rule(rf"pc_encoder\.transformer\.{fin}\.bias",
+          "params/pc_encoder/transformer/norm/LayerNorm_0/bias", _id)
+_rule(r"pc_encoder\.out_proj\.weight", "params/pc_encoder/out_proj/kernel", _t)
+_rule(r"pc_encoder\.out_proj\.bias", "params/pc_encoder/out_proj/bias", _id)
+
+# --------------------------------------------------------- prompt encoders
+_rule(r"point_encoder\.pe_layer\.positional_encoding_gaussian_matrix",
+      "buffers/point_encoder/pe_layer/gaussian_matrix", _id)
+_rule(r"point_encoder\.point_embeddings\.([01])\.weight",
+      r"params/point_encoder/label_embed[\1]", _id)
+_pointnet_rules(r"mask_encoder\.patch_encoder",
+                "params/mask_encoder/patch_encoder")
+_rule(r"mask_encoder\.no_mask_embed\.weight",
+      "params/mask_encoder/no_mask_embed", lambda w: np.asarray(w)[0])
+
+# ------------------------------------------------------------ mask decoder
+_rule(r"mask_decoder\.iou_token\.weight", "params/mask_decoder/iou_token", _id)
+_rule(r"mask_decoder\.mask_tokens\.weight",
+      "params/mask_decoder/mask_tokens", _id)
+_L = r"mask_decoder\.transformer\.layers\.(\d+)"
+_LT = r"params/mask_decoder/transformer/layers_\1"
+_attention_rules(rf"{_L}\.self_attn", rf"{_LT}/self_attn")
+_attention_rules(rf"{_L}\.cross_attn_token_to_image",
+                 rf"{_LT}/cross_attn_token_to_pc")
+_attention_rules(rf"{_L}\.cross_attn_image_to_token",
+                 rf"{_LT}/cross_attn_pc_to_token")
+for i in (1, 2, 3, 4):
+    _rule(rf"{_L}\.norm{i}\.weight", rf"{_LT}/norm{i}/LayerNorm_0/scale", _id)
+    _rule(rf"{_L}\.norm{i}\.bias", rf"{_LT}/norm{i}/LayerNorm_0/bias", _id)
+_rule(rf"{_L}\.mlp\.lin1\.weight", rf"{_LT}/mlp/Dense_0/kernel", _t)
+_rule(rf"{_L}\.mlp\.lin1\.bias", rf"{_LT}/mlp/Dense_0/bias", _id)
+_rule(rf"{_L}\.mlp\.lin2\.weight", rf"{_LT}/mlp/Dense_1/kernel", _t)
+_rule(rf"{_L}\.mlp\.lin2\.bias", rf"{_LT}/mlp/Dense_1/bias", _id)
+_attention_rules(r"mask_decoder\.transformer\.final_attn_token_to_image",
+                 "params/mask_decoder/transformer/final_attn_token_to_pc")
+_rule(r"mask_decoder\.transformer\.norm_final_attn\.weight",
+      "params/mask_decoder/transformer/norm_final_attn/LayerNorm_0/scale", _id)
+_rule(r"mask_decoder\.transformer\.norm_final_attn\.bias",
+      "params/mask_decoder/transformer/norm_final_attn/LayerNorm_0/bias", _id)
+_rule(r"mask_decoder\.output_upscaling\.0\.weight",
+      "params/mask_decoder/output_upscaling/Dense_0/kernel", _t)
+_rule(r"mask_decoder\.output_upscaling\.0\.bias",
+      "params/mask_decoder/output_upscaling/Dense_0/bias", _id)
+_rule(r"mask_decoder\.output_upscaling\.1\.weight",
+      "params/mask_decoder/output_upscaling/LayerNorm_0/LayerNorm_0/scale", _id)
+_rule(r"mask_decoder\.output_upscaling\.1\.bias",
+      "params/mask_decoder/output_upscaling/LayerNorm_0/LayerNorm_0/bias", _id)
+_rule(r"mask_decoder\.output_upscaling\.3\.weight",
+      "params/mask_decoder/output_upscaling/Dense_1/kernel", _t)
+_rule(r"mask_decoder\.output_upscaling\.3\.bias",
+      "params/mask_decoder/output_upscaling/Dense_1/bias", _id)
+_rule(r"mask_decoder\.output_hypernetworks_mlps\.(\d+)\.layers\.(\d+)\.weight",
+      r"params/mask_decoder/hyper_mlp_\1/Dense_\2/kernel", _t)
+_rule(r"mask_decoder\.output_hypernetworks_mlps\.(\d+)\.layers\.(\d+)\.bias",
+      r"params/mask_decoder/hyper_mlp_\1/Dense_\2/bias", _id)
+_rule(r"mask_decoder\.iou_prediction_head\.layers\.(\d+)\.weight",
+      r"params/mask_decoder/iou_prediction_head/Dense_\1/kernel", _t)
+_rule(r"mask_decoder\.iou_prediction_head\.layers\.(\d+)\.bias",
+      r"params/mask_decoder/iou_prediction_head/Dense_\1/bias", _id)
+
+
+def map_torch_key(key: str):
+    """Map one torch state-dict key -> (slash path, transform) or None."""
+    for pat, tgt, tr in _RULES:
+        m = pat.match(key)
+        if m:
+            return m.expand(tgt), tr
+    return None
+
+
+def convert_state_dict(sd: dict, variables: dict, *, strict: bool = True):
+    """Convert a torch state dict onto a copy of our variables pytree.
+
+    Returns (new_variables, report) where report lists unmapped torch keys
+    and unfilled flax leaves. Fused qkv weights and indexed targets
+    (``label_embed[i]``) are assembled after the per-key pass.
+    """
+    import jax
+
+    flat = _flatten(variables)
+    filled = set()
+    unmapped = []
+    pending_qkv: dict[str, dict] = {}
+    pending_indexed: dict[str, np.ndarray] = {}
+
+    for key, value in sd.items():
+        mapped = map_torch_key(key)
+        if mapped is None:
+            unmapped.append(key)
+            continue
+        path, tr = mapped
+        arr = tr(value)
+        if "[" in path:  # indexed assignment, e.g. label_embed[0]
+            base, idx = re.match(r"(.*)\[(\d+)\]", path).groups()
+            if base not in flat:
+                unmapped.append(key)
+                continue
+            buf = pending_indexed.setdefault(base, np.array(flat[base]))
+            buf[int(idx)] = np.asarray(arr).reshape(buf[int(idx)].shape)
+            filled.add(base)
+            continue
+        if path.endswith("/qkv/kernel") or path.endswith("/qkv/q_bias") \
+                or path.endswith("/qkv/v_bias"):
+            base = path.rsplit("/qkv/", 1)[0]
+            pending_qkv.setdefault(base + "#qkv", {})[
+                path.rsplit("/", 1)[1]
+            ] = arr
+            continue
+        if path not in flat:
+            unmapped.append(key)
+            continue
+        if flat[path].shape != np.shape(arr):
+            raise ValueError(
+                f"shape mismatch for {key} -> {path}: "
+                f"{np.shape(arr)} vs {flat[path].shape}"
+            )
+        flat[path] = np.asarray(arr, dtype=np.asarray(flat[path]).dtype)
+        filled.add(path)
+
+    # Assemble fused qkv. If our model also uses a fused projection (the
+    # EVA-giant config), assign directly with bias [q_bias, 0, v_bias]
+    # (timm computes F.linear(x, qkv.weight, cat(q_bias, zeros, v_bias)));
+    # otherwise split into separate q/k/v projections.
+    for base, parts in pending_qkv.items():
+        prefix = base[: -len("#qkv")]
+        w = parts["kernel"]  # [in, 3*out] after transpose
+        d = w.shape[1] // 3
+        fused_kpath = f"{prefix}/qkv/kernel"
+        if fused_kpath in flat:
+            flat[fused_kpath] = np.asarray(w, np.asarray(flat[fused_kpath]).dtype)
+            filled.add(fused_kpath)
+            bpath = f"{prefix}/qkv/bias"
+            if bpath in flat:
+                bias = np.zeros(3 * d, np.asarray(flat[bpath]).dtype)
+                if "q_bias" in parts:
+                    bias[:d] = parts["q_bias"]
+                if "v_bias" in parts:
+                    bias[2 * d :] = parts["v_bias"]
+                flat[bpath] = bias
+                filled.add(bpath)
+            continue
+        for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            kpath = f"{prefix}/{name}/kernel"
+            if kpath in flat:
+                flat[kpath] = np.asarray(
+                    w[:, i * d : (i + 1) * d],
+                    np.asarray(flat[kpath]).dtype,
+                )
+                filled.add(kpath)
+        for bname, pname in (("q_bias", "q_proj"), ("v_bias", "v_proj")):
+            if bname in parts:
+                bpath = f"{prefix}/{pname}/bias"
+                if bpath in flat:
+                    flat[bpath] = np.asarray(
+                        parts[bname], np.asarray(flat[bpath]).dtype
+                    )
+                    filled.add(bpath)
+    for base, buf in pending_indexed.items():
+        flat[base] = np.asarray(buf, np.asarray(flat[base]).dtype)
+
+    unfilled = sorted(set(flat) - filled)
+    report = dict(unmapped=sorted(unmapped), unfilled=unfilled)
+    if strict and unmapped:
+        raise ValueError(f"unmapped torch keys: {unmapped[:10]}...")
+    new_vars = _unflatten(flat, variables)
+    return new_vars, report
+
+
+def convert_uni3d(sd: dict, variables: dict):
+    """Uni3D pretrained-encoder initialization (reference train.py:101-121):
+    only pc_encoder weights, with the documented key surgery. Non-encoder
+    keys are ignored."""
+    module = sd.get("module", sd)
+    remapped = {}
+    for name, w in module.items():
+        if name.startswith("point_encoder.encoder2trans."):
+            remapped["pc_encoder.patch_proj." +
+                     name[len("point_encoder.encoder2trans."):]] = w
+        elif name.startswith("point_encoder.pos_embed."):
+            remapped["pc_encoder.pos_embed." +
+                     name[len("point_encoder.pos_embed."):]] = w
+        elif name.startswith("point_encoder.visual."):
+            remapped["pc_encoder.transformer." +
+                     name[len("point_encoder.visual."):]] = w
+    return convert_state_dict(remapped, variables, strict=False)
+
+
+def load_torch_safetensors(path: str, variables: dict, *, strict=True):
+    """Load a reference .safetensors checkpoint into our variables."""
+    from safetensors import safe_open
+
+    sd = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            sd[k] = f.get_tensor(k)
+    return convert_state_dict(sd, variables, strict=strict)
+
+
+# ------------------------------------------------------------------ utils
+def _flatten(tree, prefix="", out=None):
+    if out is None:
+        out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(v, f"{prefix}/{k}" if prefix else k, out)
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _unflatten(flat: dict, like: dict):
+    import copy
+
+    out = copy.deepcopy(jax_to_py(like))
+    for path, v in flat.items():
+        parts = path.split("/")
+        cur = out
+        for p in parts[:-1]:
+            cur = cur[p]
+        cur[parts[-1]] = v
+    return out
+
+
+def jax_to_py(tree):
+    if isinstance(tree, dict):
+        return {k: jax_to_py(v) for k, v in tree.items()}
+    return np.asarray(tree)

@@ -60,6 +60,50 @@ class TestKNN:
         d2, _ = ops.knn(jnp.asarray(q), jnp.asarray(k), 4, dense_max=1, key_tile=128)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
 
+    def test_small_k_matches_exact(self, rng):
+        q = rng.standard_normal((2, 500, 3), dtype=np.float32)
+        k = rng.standard_normal((2, 300, 3), dtype=np.float32)
+        d1, i1 = ops.knn(jnp.asarray(q), jnp.asarray(k), 3, method="exact")
+        d2, i2 = ops.knn(jnp.asarray(q), jnp.asarray(k), 3, method="small_k")
+        np.testing.assert_allclose(np.asarray(jnp.sort(d1, -1)),
+                                   np.asarray(jnp.sort(d2, -1)), atol=1e-5)
+        assert (np.sort(np.asarray(i1), -1) == np.sort(np.asarray(i2), -1)).all()
+
+    def test_small_k_query_tiling(self, rng):
+        # Nq not a multiple of the tile size exercises the padding path.
+        q = rng.standard_normal((1, 100, 3), dtype=np.float32)
+        k = rng.standard_normal((1, 64, 3), dtype=np.float32)
+        from point_sam_tpu.ops.knn import _small_k_knn
+
+        d, i = _small_k_knn(jnp.asarray(q), jnp.asarray(k), 3, None,
+                            query_tile=32)
+        want_d, _ = brute_knn(q, k, 3)
+        np.testing.assert_allclose(np.asarray(d), want_d, atol=1e-5)
+
+    def test_small_k_respects_key_valid(self, rng):
+        q = rng.standard_normal((1, 8, 3), dtype=np.float32)
+        k = np.concatenate([q + 1e-4, rng.standard_normal((1, 56, 3),
+                                                          dtype=np.float32)], 1)
+        valid = np.ones((1, 64), bool)
+        valid[0, :8] = False
+        _, i = ops.knn(jnp.asarray(q), jnp.asarray(k), 2, method="small_k",
+                       key_valid=jnp.asarray(valid))
+        assert (np.asarray(i) >= 8).all()
+
+    def test_approx_recall(self, rng):
+        """The approx path must find ~all true neighbors (recall >= 0.95
+        at target 0.99) — it backs the tokenizer at large N."""
+        q = rng.standard_normal((1, 64, 3), dtype=np.float32)
+        k = rng.standard_normal((1, 20000, 3), dtype=np.float32)
+        _, ia = ops.knn(jnp.asarray(q), jnp.asarray(k), 32, method="approx")
+        _, ie = ops.knn(jnp.asarray(q), jnp.asarray(k), 32, method="exact",
+                        dense_max=32768)
+        ia, ie = np.asarray(ia), np.asarray(ie)
+        recalls = [
+            len(set(ia[0, i]) & set(ie[0, i])) / 32 for i in range(64)
+        ]
+        assert np.mean(recalls) > 0.95, np.mean(recalls)
+
     def test_nn1(self, rng):
         q = rng.standard_normal((2, 10, 3), dtype=np.float32)
         k = rng.standard_normal((2, 50, 3), dtype=np.float32)
