@@ -31,6 +31,13 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"
 
     import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -59,16 +66,11 @@ def main():
     )
     feats = jnp.asarray(rng.random((B, N, 3)).astype(np.float32))
 
-    # Init params via a cheap single-click predict to create all encoder
-    # params (decoder params too; unused here).
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)},
-        coords[:, :1024],
-        feats[:, :1024],
-        coords[:, :1, :],
-        jnp.ones((B, 1), bool),
-        method=model.predict_masks,
-    )
+    # Jitted init (op-by-op dispatch through the device tunnel is slow).
+    from point_sam_tpu.models import init_variables
+
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
 
     @jax.jit
     def encode(variables, coords, feats):
@@ -76,17 +78,21 @@ def main():
         emb, pe = model.apply(
             variables, coords, feats, geom, method=model.encode
         )
-        return emb, pe, geom["interp_weight"]
+        # Scalar checksum forces a host readback per call: on remote-attached
+        # backends block_until_ready alone can return before execution
+        # completes, which silently inflates throughput numbers.
+        return emb, pe, jnp.sum(jnp.abs(emb).astype(jnp.float32))
 
-    # Warmup / compile.
-    out = encode(variables, coords, feats)
-    jax.block_until_ready(out)
+    def run():
+        out = encode(variables, coords, feats)
+        return float(out[2])
 
+    run()  # compile
+    run()  # warm
     iters = 3 if small else 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = encode(variables, coords, feats)
-    jax.block_until_ready(out)
+        run()
     dt = (time.perf_counter() - t0) / iters
 
     clouds_per_sec = B / dt

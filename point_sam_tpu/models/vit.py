@@ -81,16 +81,13 @@ class EvaAttention(nn.Module):
                          name="v_proj")(x)
 
         def split_heads(t):
-            return t.reshape(B, L, c.num_heads, c.head_dim)
+            # [B, L, D] -> [B, H, L, dh] for the attention kernel.
+            return t.reshape(B, L, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
 
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        # [B, H, Lq, Lk] logits in fp32 for a stable softmax.
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn / jnp.sqrt(jnp.float32(c.head_dim))
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
-        out = out.reshape(B, L, D)
+        from ..ops.attention import mha  # local import avoids a cycle
+
+        out = mha(split_heads(q), split_heads(k), split_heads(v))
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
         return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
                         name="proj")(out)
 

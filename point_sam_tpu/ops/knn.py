@@ -33,16 +33,40 @@ def _dense_knn(query, key, k, key_valid):
     return -neg_d, idx.astype(jnp.int32)
 
 
+# Above this many distance-matrix elements per batch row, tile the query
+# axis instead of letting XLA fuse one big reduction. 2048 x 100k = 2e8
+# stays single-shot (XLA fuses the distance computation into the reduction,
+# so the matrix is never materialized in HBM).
+_SINGLE_SHOT_MAX_ELEMENTS = 1 << 29
+
+
+def _small_k_single(query, key, k, key_valid):
+    d2 = sq_dist(query, key)  # [..., Nq, Nk]
+    if key_valid is not None:
+        d2 = jnp.where(key_valid[..., None, :], d2, _INF)
+    nk = key.shape[-2]
+    iota = jnp.arange(nk, dtype=jnp.int32)
+    ds, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        ds.append(jnp.min(d2, axis=-1))
+        idxs.append(i)
+        d2 = jnp.where(iota == i[..., None], _INF, d2)
+    return jnp.stack(ds, -1), jnp.stack(idxs, -1)
+
+
 def _small_k_knn(query, key, k, key_valid, *, query_tile: int = 8192):
     """k-NN by k successive masked min-extractions (no sort/top_k).
 
     For tiny k (the 3-NN interpolation weights and 1-NN voronoi assignment)
     this is far faster on TPU than ``lax.top_k``: each extraction is a pure
     VPU min/argmin reduction over the key axis. Queries are processed in
-    tiles to bound the distance-matrix working set.
+    tiles only when the distance matrix would be too large to fuse.
     """
     nq = query.shape[-2]
     nk = key.shape[-2]
+    if nq * nk <= _SINGLE_SHOT_MAX_ELEMENTS:
+        return _small_k_single(query, key, k, key_valid)
     num_tiles = -(-nq // query_tile)
     pad = num_tiles * query_tile - nq
     q = query
@@ -78,15 +102,32 @@ def _small_k_knn(query, key, k, key_valid, *, query_tile: int = 8192):
 
 
 def _approx_knn(query, key, k, key_valid, *, recall_target: float,
-                query_tile: int = 512):
+                query_tile: int = 4096):
     """Large-k k-NN via ``lax.approx_min_k`` (TPU-optimized partial
     reduction). Used for the tokenizer's G x K neighbor search over huge
     clouds where exact merge-sort selection dominates encode time. Neighbor
     sets are approximate with the given recall target; grouping is a
     max-pooled PointNet, so a sub-1% miss rate is immaterial to mask
     quality (validated in tests/test_ops_geometry.py::TestKNN::test_approx_recall).
+
+    Single-shot by default — XLA fuses the distance computation into the
+    approx reduction so the [Nq, Nk] matrix never materializes (measured 4x
+    faster than a query-tiled scan at 2048 x 100k). Falls back to query
+    tiling only for enormous problems.
     """
     nq = query.shape[-2]
+    nk = key.shape[-2]
+
+    def one_shot(q):
+        d2 = sq_dist(q, key)
+        if key_valid is not None:
+            d2 = jnp.where(key_valid[..., None, :], d2, _INF)
+        d, i = jax.lax.approx_min_k(d2, k, recall_target=recall_target)
+        return d, i.astype(jnp.int32)
+
+    if nq * nk <= _SINGLE_SHOT_MAX_ELEMENTS:
+        return one_shot(query)
+
     num_tiles = -(-nq // query_tile)
     pad = num_tiles * query_tile - nq
     q = query
@@ -95,15 +136,9 @@ def _approx_knn(query, key, k, key_valid, *, recall_target: float,
     q_tiles = jnp.moveaxis(
         q.reshape(q.shape[:-2] + (num_tiles, query_tile, q.shape[-1])), -3, 0
     )
-
-    def per_tile(carry, q_t):
-        d2 = sq_dist(q_t, key)
-        if key_valid is not None:
-            d2 = jnp.where(key_valid[..., None, :], d2, _INF)
-        d, i = jax.lax.approx_min_k(d2, k, recall_target=recall_target)
-        return carry, (d, i.astype(jnp.int32))
-
-    _, (d_t, i_t) = jax.lax.scan(per_tile, 0, q_tiles)
+    _, (d_t, i_t) = jax.lax.scan(
+        lambda c, q_t: (c, one_shot(q_t)), 0, q_tiles
+    )
     d_out = jnp.moveaxis(d_t, 0, -3).reshape(
         query.shape[:-2] + (num_tiles * query_tile, k)
     )[..., :nq, :]

@@ -207,9 +207,11 @@ def make_handler(session: SegmentSession, static_dir: Path | None):
 
 def build_server(model, variables, *, host="127.0.0.1", port=5000,
                  model_dir="demo_models", output_dir="demo_out",
-                 static_dir=None):
+                 static_dir="bundled"):
     from .predictor import Predictor
 
+    if static_dir == "bundled":
+        static_dir = Path(__file__).parent / "static"
     predictor = Predictor(model, variables)
     session = SegmentSession(predictor, Path(model_dir), Path(output_dir))
     handler = make_handler(
@@ -227,7 +229,7 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=5000)
     parser.add_argument("--model_dir", default="demo_models")
     parser.add_argument("--output_dir", default="demo_out")
-    parser.add_argument("--static_dir", default=None)
+    parser.add_argument("--static_dir", default="bundled")
     parser.add_argument("overrides", nargs="*", default=[])
     args = parser.parse_args(argv)
 
