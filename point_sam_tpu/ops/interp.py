@@ -32,6 +32,22 @@ def compute_interp_weights(
     Returns:
         (indices [B, Nq, k] int32, weights [B, Nq, k]).
     """
+    import jax
+
+    if (
+        k == 3
+        and key_valid is None
+        and key.shape[-2] <= 4096
+        and jax.default_backend() == "tpu"
+    ):
+        # Fused Pallas kernel: distance block + 3 min-extractions entirely
+        # in VMEM (see ops.interp_pallas).
+        from .interp_pallas import interp_weights_pallas
+
+        try:
+            return interp_weights_pallas(query, key, eps=eps)
+        except Exception:
+            pass
     d2, idx = knn(query, key, k, key_valid=key_valid)
     inv = 1.0 / jnp.maximum(d2, eps)
     weight = inv / jnp.sum(inv, axis=-1, keepdims=True)

@@ -161,7 +161,7 @@ def knn(
     key_tile: int = 4096,
     dense_max: int = 8192,
     method: str = "auto",
-    recall_target: float = 0.99,
+    recall_target: float = 0.95,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Find the k nearest keys for each query point.
 
@@ -177,7 +177,11 @@ def knn(
             reduction for large selections (k > 4, Nk > dense_max) on TPU;
             exact elsewhere. approx trades <=1-recall_target neighbor recall
             for a large speedup of the tokenizer's G x K search.
-        recall_target: per-neighbor recall for the approx path.
+        recall_target: per-neighbor recall target for the approx path.
+            0.95 (default) measures ~3.5x faster than 0.99 on v5e at
+            2048 x 100k x K=256; measured recall on uniform clouds is
+            typically >= 0.97, and grouping is a max-pooled PointNet, so
+            mask quality is insensitive to the tail.
 
     Returns:
         (sq_dists [B, Nq, k], indices [B, Nq, k] int32), sorted ascending by

@@ -275,6 +275,32 @@ class TestInterp:
             np.testing.assert_allclose(got[m], want, atol=1e-5)
 
 
+class TestInterpPallas:
+    def test_matches_xla(self, rng):
+        from point_sam_tpu.ops.interp_pallas import interp_weights_pallas
+
+        q = jnp.asarray(rng.standard_normal((2, 300, 3), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 32, 3), dtype=np.float32))
+        i1, w1 = interp_weights_pallas(q, k, tile_q=128, interpret=True)
+        d2, i2 = ops.knn(q, k, 3, method="exact")
+        inv = 1.0 / np.maximum(np.asarray(d2), 1e-8)
+        w2 = inv / inv.sum(-1, keepdims=True)
+        assert (np.sort(np.asarray(i1), -1) == np.sort(np.asarray(i2), -1)).all()
+        np.testing.assert_allclose(
+            np.sort(np.asarray(w1), -1), np.sort(w2, -1), atol=1e-5
+        )
+
+    def test_padding_tail(self, rng):
+        from point_sam_tpu.ops.interp_pallas import interp_weights_pallas
+
+        # N not a multiple of tile_q exercises the pad/crop path.
+        q = jnp.asarray(rng.standard_normal((1, 77, 3), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((1, 16, 3), dtype=np.float32))
+        i1, w1 = interp_weights_pallas(q, k, tile_q=64, interpret=True)
+        assert i1.shape == (1, 77, 3)
+        np.testing.assert_allclose(np.asarray(w1).sum(-1), 1.0, atol=1e-5)
+
+
 class TestScatter:
     def test_scatter_max_matches_numpy(self, rng):
         B, N, L, C = 2, 30, 5, 4
