@@ -1,6 +1,12 @@
 """Model stack: point-patch ViT encoder, prompt encoders, two-way decoder,
 and the top-level PointCloudSAM (SURVEY.md §2.2 L2)."""
 
+from .decoder_variants import (
+    PatchDropout,
+    Propagate,
+    PropagateAttn,
+    PropagateNN,
+)
 from .loss import (
     compute_iou,
     compute_jaccard,
@@ -43,6 +49,10 @@ from .transformer import Attention, TwoWayAttentionBlock, TwoWayTransformer
 from .vit import VIT_PRESETS, EvaBlock, ViT, ViTConfig, get_vit_config
 
 __all__ = [
+    "PatchDropout",
+    "Propagate",
+    "PropagateAttn",
+    "PropagateNN",
     "compute_iou",
     "compute_jaccard",
     "compute_mask_loss",
