@@ -1,0 +1,2 @@
+#!/usr/bin/env bash
+python -m point_sam_tpu.train.trainer --config base "$@"
