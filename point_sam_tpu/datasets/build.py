@@ -91,6 +91,33 @@ def build_dataset(ds_cfg: dict, *, num_samples_default: int | None = None,
     raise ValueError(f"unknown dataset source {source!r}")
 
 
+class FlatMaskDataset:
+    """One (cloud, mask) pair per row, via a precomputed flat index.
+
+    Equivalent of the reference's ``FuseDatasetVal`` with its
+    (point, mask) mapping npy (pc_sam/datasets/fuse_data.py:195-240,
+    preprocess_mapping.py): validation iterates every instance mask of
+    every scene exactly once, deterministically.
+    """
+
+    def __init__(self, dataset, mapping=None):
+        self.dataset = dataset
+        if mapping is None:
+            from .preprocess import build_val_mapping
+
+            mapping = build_val_mapping(dataset)
+        self.mapping = np.asarray(mapping)
+
+    def __len__(self):
+        return len(self.mapping)
+
+    def __getitem__(self, i):
+        scene_idx, mask_idx = self.mapping[i]
+        ex = dict(self.dataset[int(scene_idx)])
+        ex["gt_masks"] = np.asarray(ex["gt_masks"])[int(mask_idx)][None]
+        return ex
+
+
 class BatchIterator:
     """Shuffling fixed-shape batcher (replaces torch DataLoader,
     reference train.py:129-134). Single-process; the per-example transforms

@@ -182,6 +182,15 @@ def main(argv=None):
         if val_iter is not None and (epoch + 1) % cfg.val_freq == 0:
             val_metrics = validate(model, state, val_iter, mesh)
             log({f"val/{k}": v for k, v in val_metrics.items()}, global_step)
+            # Sample visualization: write predicted-mask PLYs (offline
+            # analogue of the reference's wandb.Object3D panels,
+            # train.py:314-327).
+            vis_freq = cfg.get("vis_freq", 0)
+            if vis_freq and (epoch + 1) % vis_freq == 0:
+                dump_visualizations(
+                    model, state, val_iter,
+                    Path(cfg.get("project_dir", ".")) / "vis" / f"ep{epoch+1}",
+                )
 
         if (epoch + 1) % cfg.get("save_freq", 5) == 0 or global_step >= max_steps:
             ckpt_mgr.save(epoch + 1, args=ocp.args.StandardSave(
@@ -194,6 +203,37 @@ def main(argv=None):
     if wandb_run is not None:
         wandb_run.finish()
     return state
+
+
+def dump_visualizations(model, state, val_iter, out_dir: Path,
+                        max_samples: int = 4):
+    """Write prompt + best-mask PLYs for a few validation samples."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils import ply
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    variables = {"params": state.params, **state.buffers}
+    batch = next(iter(val_iter))
+    coords = jnp.asarray(batch["coords"])
+    feats = jnp.asarray(batch["features"])
+    gt = jnp.asarray(batch["gt_masks"])
+    outputs = model.apply(variables, coords, feats, gt, is_eval=True)
+    last = jax.device_get(outputs[-1])
+    B, M, _ = gt.shape
+    xyz = np.asarray(coords)
+    for i in range(min(max_samples, B * M)):
+        b = i // M
+        rgb = np.clip((np.asarray(feats)[b, :, :3] * 0.5 + 0.5) * 255, 0, 255)
+        ply.visualize_mask(
+            out_dir / f"sample{i}_pred.ply", xyz[b],
+            last["prompt_masks"][i] > 0, rgb,
+        )
+        ply.visualize_prompts(
+            out_dir / f"sample{i}_prompts.ply", xyz[b],
+            last["prompt_coords"][i], last["prompt_labels"][i], rgb,
+        )
 
 
 def validate(model, state, val_iter, mesh):

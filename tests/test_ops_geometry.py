@@ -152,6 +152,38 @@ class TestFPS:
         idx = np.asarray(ops.fps_xla(jnp.asarray(pts), 10, valid=jnp.asarray(valid[None])))
         assert (idx < 50).all()
 
+    def test_pallas_kernel_bit_exact(self, rng):
+        from point_sam_tpu.ops.fps_pallas import fps_pallas
+
+        pts = rng.standard_normal((2, 1500, 3)).astype(np.float32)
+        want = np.asarray(ops.fps_xla(jnp.asarray(pts), 64))
+        got = np.asarray(fps_pallas(jnp.asarray(pts), 64, interpret=True))
+        assert (want == got).all()
+
+    def test_pallas_kernel_valid_mask(self, rng):
+        from point_sam_tpu.ops.fps_pallas import fps_pallas
+
+        pts = rng.standard_normal((2, 1500, 3)).astype(np.float32)
+        valid = np.ones((2, 1500), bool)
+        valid[:, 1000:] = False
+        want = np.asarray(ops.fps_xla(jnp.asarray(pts), 32,
+                                      valid=jnp.asarray(valid)))
+        got = np.asarray(fps_pallas(jnp.asarray(pts), 32,
+                                    valid=jnp.asarray(valid), interpret=True))
+        assert (want == got).all()
+        assert (got < 1000).all()
+
+    def test_pallas_kernel_tie_breaking(self, rng):
+        """Duplicated points force exact distance ties; the kernel's
+        hierarchical argmax must still pick the smallest index."""
+        from point_sam_tpu.ops.fps_pallas import fps_pallas
+
+        base = rng.standard_normal((1, 300, 3)).astype(np.float32)
+        pts = jnp.asarray(np.tile(base, (1, 2, 1)))
+        want = np.asarray(ops.fps_xla(pts, 48))
+        got = np.asarray(fps_pallas(pts, 48, interpret=True))
+        assert (want == got).all()
+
     def test_no_duplicates_when_enough_points(self, rng):
         pts = rng.standard_normal((3, 64, 3), dtype=np.float32)
         idx = np.asarray(ops.fps_xla(jnp.asarray(pts), 32))
