@@ -115,6 +115,15 @@ class PointCloudSAM(nn.Module):
             dtype=self.dtype,
         )
 
+    # -------------------------------------------------------------- geometry
+    def make_geometry(self, coords, *, point_valid=None, tokenizer=None):
+        """Parameter-free tokenizer geometry for this model (callable on the
+        unbound module — uses only cfg). Serving/eval may override the
+        tokenizer for large scenes (reference eval_kitti.py:350-362)."""
+        return compute_geometry(
+            coords, tokenizer or self.cfg.tokenizer, point_valid=point_valid
+        )
+
     # ---------------------------------------------------------------- encode
     def encode(self, coords, features, geom, *, deterministic=True):
         """Tokenize + ViT-encode one point cloud batch.

@@ -134,6 +134,12 @@ class PointCloudSAMNN(nn.Module):
             multimask_output=multimask_output,
         )
 
+    def make_geometry(self, coords, *, point_valid=None, tokenizer=None):
+        """See PointCloudSAM.make_geometry; voronoi models only have a
+        center count to override."""
+        num = tokenizer.num_patches if tokenizer else self.cfg.num_patches
+        return compute_geometry_voronoi(coords, num, point_valid=point_valid)
+
     def _init_probe(self, coords, features):
         """See models.pc_sam.init_variables."""
         geom = compute_geometry_voronoi(coords, self.cfg.num_patches)
@@ -350,6 +356,12 @@ class PointCloudSAMHier(nn.Module):
             pc_embeddings, pc_pe, coords, geom, x1, prompt_coords,
             prompt_labels, prompt_masks, prompt_valid=prompt_valid,
             multimask_output=multimask_output,
+        )
+
+    def make_geometry(self, coords, *, point_valid=None, tokenizer=None):
+        """See PointCloudSAM.make_geometry."""
+        return compute_geometry_hier(
+            coords, tokenizer or self.cfg.tokenizer, point_valid=point_valid
         )
 
     def _init_probe(self, coords, features):

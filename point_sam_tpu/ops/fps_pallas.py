@@ -77,7 +77,7 @@ def _fps_kernel(first_ref, b, xyz_ref, mind0_ref, out_ref, mind_ref,
         colmax_ref[:] = jnp.max(m, axis=0, keepdims=True)
 
     first = first_ref[b]
-    out_ref[0, 0] = first  # out lives in SMEM: scalar stores are legal
+    out_ref[b, 0] = first  # out lives in SMEM: scalar stores are legal
     update(first)
 
     def body(g, _):
@@ -89,7 +89,7 @@ def _fps_kernel(first_ref, b, xyz_ref, mind0_ref, out_ref, mind_ref,
         hit = (tile == best) & (lane128 == (c - c0))
         r = jnp.min(jnp.where(hit, row128, _BIG))
         sel = c * _SUBLANES + r
-        out_ref[0, g] = sel
+        out_ref[b, g] = sel
         update(sel)
         return 0
 
@@ -142,7 +142,9 @@ def fps_pallas(
             pl.BlockSpec((1, 3, _SUBLANES, n8), lambda b, *_: (b, 0, 0, 0)),
             pl.BlockSpec((1, _SUBLANES, n8), lambda b, *_: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, num_samples), lambda b, *_: (b, 0),
+        # SMEM outputs must cover the full array (blocked SMEM shapes need
+        # (8, 128)-divisible tiles); the kernel indexes its row by program id.
+        out_specs=pl.BlockSpec((B, num_samples), lambda b, *_: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((_SUBLANES, n8), jnp.float32),

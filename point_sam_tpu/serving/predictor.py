@@ -43,6 +43,10 @@ def _next_pow2(n: int, lo: int = 1) -> int:
     return p
 
 
+def _freeze(x):
+    return tuple(x) if isinstance(x, (list, tuple)) else x
+
+
 class Predictor:
     """Interactive single-cloud predictor over a PointCloudSAM model."""
 
@@ -97,15 +101,20 @@ class Predictor:
             self._scale = float(np.linalg.norm(xyz, axis=1).max()) or 1.0
             xyz = xyz / self._scale
 
-        tok = self.model.cfg.tokenizer
-        if group_number is None:
+        tok = getattr(self.model.cfg, "tokenizer", None)
+        default_g = tok.num_patches if tok is not None else \
+            self.model.cfg.num_patches
+        default_k = getattr(tok, "patch_size", 64) if tok is not None else 64
+        if isinstance(default_g, (tuple, list)):  # hier: no runtime override
+            group_number, group_size = default_g, default_k
+        elif group_number is None:
             if n > 30000:
                 group_number, group_size = 2048, 256
             else:
-                group_number = min(tok.num_patches, _next_pow2(n, 64))
-                group_size = group_size or tok.patch_size
-        group_size = group_size or tok.patch_size
-        group_size = min(group_size, n)
+                group_number = min(default_g, _next_pow2(n, 64))
+                group_size = group_size or default_k
+        if not isinstance(group_number, (tuple, list)):
+            group_size = min(group_size or default_k, n)
 
         n_pad = _next_bucket(n, self.point_buckets)
         coords = np.zeros((1, n_pad, 3), np.float32)
@@ -115,37 +124,47 @@ class Predictor:
         valid = np.zeros((1, n_pad), bool)
         valid[0, :n] = True
 
-        key = (n_pad, group_number, group_size)
+        key = (n_pad, _freeze(group_number), group_size)
         if key not in self._encode_cache:
-            self._encode_cache[key] = self._build_encode(*key)
-        emb, pc_pe, geom = self._encode_cache[key](
+            self._encode_cache[key] = self._build_encode(
+                n_pad, group_number, group_size
+            )
+        emb, pc_pe, extras, geom = self._encode_cache[key](
             self.variables, jnp.asarray(coords), jnp.asarray(feats),
             jnp.asarray(valid),
         )
         self._state = dict(
             n=n, n_pad=n_pad, coords=jnp.asarray(coords),
-            valid=jnp.asarray(valid), emb=emb, pc_pe=pc_pe, geom=geom,
-            group=(group_number, group_size),
+            valid=jnp.asarray(valid), emb=emb, pc_pe=pc_pe, extras=extras,
+            geom=geom, group=(_freeze(group_number), group_size),
         )
 
     def _build_encode(self, n_pad, g, k):
         import jax
 
-        from ..models.tokenizer import TokenizerConfig, compute_geometry
+        from ..models.tokenizer import TokenizerConfig
 
-        tok = TokenizerConfig(
-            num_patches=g, patch_size=k,
-            radius=self.model.cfg.tokenizer.radius,
-            centralize_features=self.model.cfg.tokenizer.centralize_features,
-        )
+        base_tok = getattr(self.model.cfg, "tokenizer", None)
+        if isinstance(g, (tuple, list)):
+            tok = None  # hier: use the model's own two-level config
+        else:
+            tok = TokenizerConfig(
+                num_patches=g, patch_size=k,
+                radius=getattr(base_tok, "radius", None),
+                centralize_features=getattr(
+                    base_tok, "centralize_features", False),
+            )
 
         @jax.jit
         def encode(variables, coords, feats, valid):
-            geom = compute_geometry(coords, tok, point_valid=valid)
-            emb, pe = self.model.apply(
+            geom = self.model.make_geometry(
+                coords, point_valid=valid, tokenizer=tok
+            )
+            out = self.model.apply(
                 variables, coords, feats, geom, method=self.model.encode
             )
-            return emb, pe, geom
+            emb, pe, *extras = out
+            return emb, pe, tuple(extras), geom
 
         return encode
 
@@ -210,7 +229,8 @@ class Predictor:
             )
         masks_logits, iou = self._decode_cache[key](
             self.variables, st["emb"], st["pc_pe"], st["coords"], st["geom"],
-            jnp.asarray(pc), jnp.asarray(pl), jnp.asarray(pv), pm,
+            st["extras"], jnp.asarray(pc), jnp.asarray(pl), jnp.asarray(pv),
+            pm,
         )
         logits = np.asarray(masks_logits)[:, :, : st["n"]]
         scores = np.asarray(iou)
@@ -219,10 +239,13 @@ class Predictor:
     def _build_decode(self, has_mask, multimask_output):
         import jax
 
-        @partial(jax.jit, static_argnames=())
-        def decode(variables, emb, pc_pe, coords, geom, pc, pl, pv, pm):
+        @jax.jit
+        def decode(variables, emb, pc_pe, coords, geom, extras, pc, pl, pv,
+                   pm):
+            # extras: () for knn/voronoi; (embeddings_l1,) for hier, whose
+            # decode takes them right after geom.
             return self.model.apply(
-                variables, emb, pc_pe, coords, geom, pc, pl,
+                variables, emb, pc_pe, coords, geom, *extras, pc, pl,
                 pm if has_mask else None,
                 prompt_valid=pv, multimask_output=multimask_output,
                 method=self.model.decode,

@@ -1,0 +1,62 @@
+"""Predictor tests across all model variants (knn / voronoi / hier)."""
+
+import numpy as np
+import jax
+import pytest
+
+from point_sam_tpu.models import (
+    HierConfig,
+    PointCloudSAM,
+    PointCloudSAMHier,
+    PointCloudSAMNN,
+    PointSAMConfig,
+    TokenizerConfig,
+    VoronoiConfig,
+    init_variables,
+)
+from point_sam_tpu.models.tokenizer import HierTokenizerConfig
+from point_sam_tpu.serving.predictor import Predictor
+
+
+def make_cloud(rng, n=1200):
+    xyz = rng.standard_normal((n, 3)).astype(np.float32)
+    xyz /= np.abs(xyz).max() + 1e-3
+    rgb = rng.random((n, 3)).astype(np.float32)
+    return xyz, rgb
+
+
+MODELS = {
+    "knn": lambda: PointCloudSAM(PointSAMConfig(
+        vit="tiny", tokenizer=TokenizerConfig(32, 16), prompt_iters=3)),
+    "voronoi": lambda: PointCloudSAMNN(VoronoiConfig(
+        vit="tiny", num_patches=32, hidden_dim=32, prompt_iters=3)),
+    "hier": lambda: PointCloudSAMHier(HierConfig(
+        vit="tiny",
+        tokenizer=HierTokenizerConfig(num_patches=(64, 16),
+                                      patch_size=(8, 4)),
+        prompt_iters=3)),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(MODELS))
+def test_predictor_click_loop(variant, rng):
+    model = MODELS[variant]()
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    pred = Predictor(model, variables, point_buckets=(2048,))
+    xyz, rgb = make_cloud(rng)
+    pred.set_pointcloud(xyz, rgb)
+    m1, l1 = pred.click(xyz[10:11], [1])
+    assert m1.shape == (1200,)
+    m2, l2 = pred.click(xyz[10:12], [1, 0], prompt_mask=l1)
+    assert np.isfinite(l2).all()
+
+
+def test_predictor_group_override(rng):
+    model = MODELS["knn"]()
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    pred = Predictor(model, variables, point_buckets=(2048,))
+    xyz, rgb = make_cloud(rng)
+    pred.set_pointcloud(xyz, rgb, group_number=16, group_size=8)
+    assert pred._state["group"] == (16, 8)
+    m, _ = pred.click(xyz[:1], [1])
+    assert m.shape == (1200,)
