@@ -76,7 +76,10 @@ class InteractiveEvaluator:
     def _tokenizer_for(self, n):
         from ..models.tokenizer import TokenizerConfig
 
-        tok = self.model.cfg.tokenizer
+        tok = getattr(self.model.cfg, "tokenizer", None)
+        if tok is None or isinstance(tok.num_patches, (tuple, list)):
+            # voronoi (no flat tokenizer) / hier (two-level): model default.
+            return None
         if n > 30000:
             return TokenizerConfig(2048, 256, radius=tok.radius,
                                    centralize_features=tok.centralize_features)
@@ -93,7 +96,6 @@ class InteractiveEvaluator:
         import jax.numpy as jnp
 
         from ..models import compute_iou
-        from ..models.tokenizer import compute_geometry
         from ..ops import batch_index_select, sample_prompts
 
         model = self.model
@@ -101,8 +103,9 @@ class InteractiveEvaluator:
 
         @jax.jit
         def run(variables, coords, feats, valid, gt_masks, mask_valid):
-            geom = compute_geometry(coords, tok, point_valid=valid)
-            emb, pc_pe = model.apply(
+            geom = model.make_geometry(coords, point_valid=valid,
+                                       tokenizer=tok)
+            emb, pc_pe, *extras = model.apply(
                 variables, coords, feats, geom, method=model.encode
             )
             B, M, N = gt_masks.shape
@@ -121,7 +124,7 @@ class InteractiveEvaluator:
                 buf_l = buf_l.at[:, i].set(pl[:, 0])
                 buf_v = buf_v.at[:, i].set(True)
                 masks, iou_preds = model.apply(
-                    variables, emb, pc_pe, coords, geom,
+                    variables, emb, pc_pe, coords, geom, *extras,
                     buf_c[:, : i + 1], buf_l[:, : i + 1], prompt_masks,
                     prompt_valid=buf_v[:, : i + 1],
                     multimask_output=(i == 0),
@@ -157,7 +160,8 @@ class InteractiveEvaluator:
         valid = np.zeros((1, n_pad), bool)
         valid[0, :n] = True
 
-        key = (n_pad, tok.num_patches, tok.patch_size, self.masks_per_batch)
+        tok_key = (tok.num_patches, tok.patch_size) if tok else "model"
+        key = (n_pad, tok_key, self.masks_per_batch)
         if key not in self._fns:
             self._fns[key] = self._build_fn(n_pad, tok, self.masks_per_batch)
         run = self._fns[key]

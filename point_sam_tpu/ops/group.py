@@ -82,6 +82,7 @@ def group_points(
     assert BM % B == 0, (BM, B)
     repeats = BM // B
 
+    C = features.shape[-1]
     if repeats == 1:
         # Single fused gather of [xyz | features] rows: halves the number of
         # (slow) TPU gathers on the tokenizer hot path.
@@ -90,8 +91,25 @@ def group_points(
         nbr_xyz = nbr[..., :3]
         nbr_feats = nbr[..., 3:].astype(features.dtype)
     else:
-        nbr_xyz = batch_index_select(xyz, knn_idx, axis=1)  # [B, G, K, 3]
-        nbr_feats = batch_index_select_repeated(features, knn_idx, repeats)
+        # All M replicas share the geometry: fold them into the channel axis
+        # so the (slow) TPU gather runs once over [B, N, 3 + M*C] instead of
+        # B*M times — the mask-prompt-encoder hot path (masks [B*M, N, 1]).
+        G, K = knn_idx.shape[1:3]
+        feats_bm = features.reshape(B, repeats, features.shape[1], C)
+        feats_ch = jnp.moveaxis(feats_bm, 1, 2).reshape(
+            B, features.shape[1], repeats * C
+        )
+        packed = jnp.concatenate(
+            [xyz, feats_ch.astype(xyz.dtype)], axis=-1
+        )  # [B, N, 3 + M*C]
+        nbr = batch_index_select(packed, knn_idx, axis=1)
+        nbr_xyz = nbr[..., :3]
+        nbr_feats = (
+            nbr[..., 3:]
+            .reshape(B, G, K, repeats, C)
+            .astype(features.dtype)
+        )
+        nbr_feats = jnp.moveaxis(nbr_feats, 3, 1).reshape(B * repeats, G, K, C)
 
     nbr_xyz = nbr_xyz - centers[:, :, None, :]
     if radius is not None:

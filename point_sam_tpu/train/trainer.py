@@ -112,7 +112,17 @@ def main(argv=None):
     accum = cfg.get("gradient_accumulation_steps", 1)
     state = TrainState.create(params, buffers, tx)
     state = replicate(state, mesh)
-    step_fn = make_train_step(model, tx, mesh, accum_steps=accum)
+    from functools import partial as _partial
+
+    from ..models import criterion as criterion_fn
+
+    loss_cfg = cfg.get("loss", {}) or {}
+    step_fn = make_train_step(
+        model, tx, mesh, accum_steps=accum,
+        criterion=_partial(
+            criterion_fn, use_soft_iou=loss_cfg.get("use_soft_iou", False)
+        ),
+    )
 
     # ----------------------------------------------------- checkpointing
     project_dir = Path(cfg.get("project_dir", "./logs/run"))
