@@ -82,6 +82,39 @@ def mha_pallas(
     )(q, k, v)
 
 
+@jax.custom_vjp
+def mha_pallas_ad(q, k, v):
+    """mha_pallas with a custom VJP (Pallas kernels aren't reverse-mode
+    differentiable under remat's partial evaluation). Backward recomputes
+    the softmax with plain XLA einsums — under the ViT's per-block remat
+    only one layer's [S, S] intermediates are live at a time."""
+    return mha_pallas(q, k, v)
+
+
+def _mha_fwd(q, k, v):
+    return mha_pallas(q, k, v), (q, k, v)
+
+
+def _mha_bwd(res, do):
+    q, k, v = res
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    do32 = do.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, do32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", do32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+mha_pallas_ad.defvjp(_mha_fwd, _mha_bwd)
+
+
 def mha_reference(q, k, v):
     """Einsum attention (the fallback; numerics-matching fp32 softmax)."""
     dh = q.shape[-1]
@@ -98,10 +131,6 @@ def mha(q, k, v, *, use_pallas: bool | None = None):
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         S = q.shape[2]
-        for bq in (512, 256, 128, 64, 32, 16, 8):
-            if S % bq == 0:
-                try:
-                    return mha_pallas(q, k, v, block_q=bq)
-                except Exception:
-                    break
+        if S % min(512, S) == 0:  # mha_pallas block divisibility
+            return mha_pallas_ad(q, k, v)
     return mha_reference(q, k, v)
