@@ -207,3 +207,33 @@ def _ln(x, dtype, name):
     from .layers import LayerNorm
 
     return LayerNorm(dtype=dtype, name=name)(x)
+
+
+class PromptEncoderNN(nn.Module):
+    """Combined click + voronoi-mask prompt encoder (reference
+    prompt_encoder.py:303-354 bundles both for the voronoi model; the
+    top-level PointCloudSAMNN here wires them separately, so this wrapper
+    exists for API parity with the reference's module surface)."""
+
+    embed_dim: int = 256
+    num_patches: int = 1024
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.point_encoder = PointEncoder(self.embed_dim, dtype=self.dtype)
+        self.mask_encoder = MaskEncoderNN(
+            embed_dim=self.embed_dim, num_patches=self.num_patches,
+            dtype=self.dtype,
+        )
+
+    def embed_points(self, points, labels):
+        return self.point_encoder(points, labels)
+
+    def embed_masks(self, masks, coords, centers, nn_idx):
+        return self.mask_encoder(masks, coords, centers, nn_idx)
+
+    def __call__(self, points, labels, masks, coords, centers, nn_idx):
+        return (
+            self.embed_points(points, labels),
+            self.embed_masks(masks, coords, centers, nn_idx),
+        )

@@ -105,8 +105,15 @@ def main(argv=None):
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params/1e6:.1f}M")
 
-    # TODO(pretrained): Uni3D initialization (reference train.py:101-121)
-    # goes through utils.convert once torch checkpoints are available.
+    # Pretrained initialization (reference train.py:101-121): Uni3D encoder
+    # weights (torch .pt with the documented key surgery) or a full
+    # converted checkpoint (.safetensors).
+    ckpt_path = cfg.get("pretrained_ckpt_path")
+    if ckpt_path:
+        variables = _load_pretrained(ckpt_path, {"params": params, **buffers})
+        params = variables["params"]
+        buffers = {k: v for k, v in variables.items() if k != "params"}
+        print(f"initialized from {ckpt_path}")
 
     mesh = make_mesh()
     accum = cfg.get("gradient_accumulation_steps", 1)
@@ -213,6 +220,27 @@ def main(argv=None):
     if wandb_run is not None:
         wandb_run.finish()
     return state
+
+
+def _load_pretrained(path: str, variables: dict) -> dict:
+    """Uni3D .pt (torch pickle) or converted .safetensors -> variables."""
+    if str(path).endswith(".safetensors"):
+        from ..utils.convert import load_torch_safetensors
+
+        new_vars, _ = load_torch_safetensors(path, variables, strict=False)
+        return new_vars
+    import torch
+
+    from ..utils.convert import convert_uni3d
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    module = sd.get("module", sd)
+    module = {k: v.numpy() for k, v in module.items()}
+    new_vars, report = convert_uni3d({"module": module}, variables)
+    n_filled = len(module) - len(report["unmapped"])
+    print(f"uni3d init: mapped {n_filled} tensors "
+          f"({len(report['unmapped'])} non-encoder keys ignored)")
+    return new_vars
 
 
 def dump_visualizations(model, state, val_iter, out_dir: Path,
