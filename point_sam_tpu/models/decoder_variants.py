@@ -47,7 +47,7 @@ class _MlpLnGelu(nn.Module):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      param_dtype=jnp.float32)(x.astype(self.dtype))
         x = LayerNorm(dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.out_dim, dtype=self.dtype,
                         param_dtype=jnp.float32)(x)
 
@@ -147,12 +147,12 @@ class PropagateNN(nn.Module):
         h = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="res_in")(x.astype(self.dtype))
         h = LayerNorm(dtype=self.dtype, name="res_in_norm")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         for i in range(self.num_res_layers):
             r = nn.Dense(self.hidden_dim, dtype=self.dtype,
                          param_dtype=jnp.float32, name=f"res_{i}")(h)
             r = LayerNorm(dtype=self.dtype, name=f"res_{i}_norm")(r)
-            h = h + nn.gelu(r)
+            h = h + nn.gelu(r, approximate=False)
         return nn.Dense(self.feats_dim, dtype=self.dtype,
                         param_dtype=jnp.float32, name="res_out")(h)
 

@@ -19,16 +19,31 @@ from flax import linen as nn
 Dtype = Any
 
 
+def _gelu_exact(x):
+    """erf-GELU: matches torch nn.GELU's default, which the reference uses
+    everywhere — the tanh approximation differs by up to ~3e-4 and breaks
+    checkpoint-parity tests."""
+    return nn.gelu(x, approximate=False)
+
+
 class LayerNorm(nn.Module):
-    """LayerNorm with fp32 statistics regardless of compute dtype."""
+    """LayerNorm with fp32 statistics regardless of compute dtype.
+
+    epsilon=1e-5 and two-pass variance match torch nn.LayerNorm (the
+    reference's normalization everywhere) — flax's defaults (1e-6, fast
+    variance) deviate by up to ~1e-4 and break checkpoint parity.
+    """
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
+        y = nn.LayerNorm(
+            epsilon=1e-5,
+            use_fast_variance=False,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
         return y.astype(self.dtype)
 
 
@@ -37,7 +52,7 @@ class MLPBlock(nn.Module):
 
     mlp_dim: int
     out_dim: int
-    act: Callable = nn.gelu
+    act: Callable = _gelu_exact
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +85,13 @@ class MLP(nn.Module):
 
 class PointNetLayer(nn.Module):
     """Dense-LN-GELU-Dense, the conv unit of the PointNet patch encoder
-    (reference: common.py:486-497)."""
+    (reference: common.py:486-497).
+
+    Inputs are flattened to 2-D around the matmuls: dots over >2-D operands
+    can take XLA's TPU convolution emitter, whose cost model CHECK-crashes
+    on some [B, G, K, C] shapes this encoder produces; the 2-D form always
+    uses the plain matrix path.
+    """
 
     hidden_dim: int
     out_dim: int
@@ -78,10 +99,13 @@ class PointNetLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        shape = x.shape
+        x = x.reshape(-1, shape[-1])
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = LayerNorm(dtype=self.dtype)(x)
-        x = nn.gelu(x)
-        return nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return x.reshape(shape[:-1] + (self.out_dim,))
 
 
 class CoordMLP(nn.Module):
@@ -97,7 +121,7 @@ class CoordMLP(nn.Module):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32)(
             coords.astype(self.dtype)
         )
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
 
 

@@ -170,6 +170,6 @@ class OutputUpscaling(nn.Module):
             x.astype(self.dtype)
         )
         x = LayerNorm(dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
-        return nn.gelu(x)
+        return nn.gelu(x, approximate=False)

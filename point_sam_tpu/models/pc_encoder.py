@@ -93,7 +93,7 @@ class _PreLNBlock(nn.Module):
         h = LayerNorm(dtype=self.dtype, name="norm")(x)
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = LayerNorm(dtype=self.dtype, name="mid_norm")(h)
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc2")(h)

@@ -289,10 +289,10 @@ def _mlp_ln(x, hidden, out, dtype, name, *, final_gelu):
     x = nn.Dense(hidden, dtype=dtype, param_dtype=jnp.float32,
                  name=f"{name}_fc1")(x.astype(dtype))
     x = LayerNorm(dtype=dtype, name=f"{name}_norm")(x)
-    x = nn.gelu(x)
+    x = nn.gelu(x, approximate=False)
     x = nn.Dense(out, dtype=dtype, param_dtype=jnp.float32,
                  name=f"{name}_fc2")(x)
-    return nn.gelu(x) if final_gelu else x
+    return nn.gelu(x, approximate=False) if final_gelu else x
 
 
 class PointCloudSAMHier(nn.Module):

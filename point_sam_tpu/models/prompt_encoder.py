@@ -193,12 +193,12 @@ class MaskEncoderNN(nn.Module):
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="res_in")(y)
         h = _ln(h, self.dtype, "res_in_norm")
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         for i in range(3):
             r_ = nn.Dense(self.hidden_dim, dtype=self.dtype,
                           param_dtype=jnp.float32, name=f"res_{i}")(h)
             r_ = _ln(r_, self.dtype, f"res_{i}_norm")
-            h = h + nn.gelu(r_)
+            h = h + nn.gelu(r_, approximate=False)
         return nn.Dense(self.embed_dim, dtype=self.dtype,
                         param_dtype=jnp.float32, name="res_out")(h)
 

@@ -122,7 +122,7 @@ class GeluMLP(nn.Module):
     def __call__(self, x):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32,
                         name="fc2")(x)
 

@@ -96,7 +96,16 @@ def fps(
     fits in VMEM; falls back to the XLA loop elsewhere (CPU tests, huge N).
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        n = points.shape[-2]
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            # Mosaic alignment: the SMEM index output tiles by 128 along G.
+            and num_samples % 128 == 0
+            # VMEM budget: coords + 2 distance fields, fp32.
+            and n <= 600_000
+            # Small problems are fine on the XLA loop; skip kernel limits.
+            and n >= 4096
+        )
     if use_pallas:
         try:
             from .fps_pallas import fps_pallas

@@ -37,7 +37,7 @@ def compute_interp_weights(
     if (
         k == 3
         and key_valid is None
-        and key.shape[-2] <= 4096
+        and 128 <= key.shape[-2] <= 4096  # Mosaic lane-alignment floor
         and jax.default_backend() == "tpu"
     ):
         # Fused Pallas kernel: distance block + 3 min-extractions entirely
