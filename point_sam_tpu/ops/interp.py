@@ -77,9 +77,22 @@ def interpolate_features_repeated(
     x: jnp.ndarray, index: jnp.ndarray, weight: jnp.ndarray
 ) -> jnp.ndarray:
     """Like interpolate_features but x is [B*M, L, C] with [B, Nq, K] weights
-    shared across the M mask replicas (reference: mask_decoder.py:158-163)."""
-    repeats = x.shape[0] // index.shape[0]
-    if repeats > 1:
-        index = repeat_interleave(index, repeats, axis=0)
-        weight = repeat_interleave(weight, repeats, axis=0)
-    return interpolate_features(x, index, weight)
+    shared across the M mask replicas (reference: mask_decoder.py:158-163).
+
+    The M replicas share indices, so they are folded into the channel axis
+    and gathered in ONE pass ([B, L, M*C] rows) — TPU gather cost scales
+    with row count, and this is the decoder's hot upscaling gather at
+    [B*M, N] scale.
+    """
+    B = index.shape[0]
+    repeats = x.shape[0] // B
+    if repeats == 1:
+        return interpolate_features(x, index, weight)
+    L, C = x.shape[1:]
+    x_ch = jnp.moveaxis(x.reshape(B, repeats, L, C), 1, 2).reshape(
+        B, L, repeats * C
+    )
+    out = interpolate_features(x_ch, index, weight)  # [B, Nq, M*C]
+    nq = out.shape[1]
+    out = out.reshape(B, nq, repeats, C)
+    return jnp.moveaxis(out, 2, 1).reshape(B * repeats, nq, C)
