@@ -1,5 +1,6 @@
 """Mesh / sharding / distributed training step (SURVEY.md §2.4)."""
 
+from .fsdp import fsdp_place, fsdp_sharding_tree
 from .mesh import (
     DATA_AXIS,
     batch_sharding,
@@ -12,6 +13,8 @@ from .train_step import TrainState, eval_step, make_optimizer, make_train_step
 
 __all__ = [
     "DATA_AXIS",
+    "fsdp_place",
+    "fsdp_sharding_tree",
     "batch_sharding",
     "make_mesh",
     "replicate",

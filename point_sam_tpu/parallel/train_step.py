@@ -68,6 +68,8 @@ def make_train_step(
     criterion: Callable = default_criterion,
     accum_steps: int = 1,
     donate: bool = True,
+    param_sharding: str = "replicated",
+    state_example=None,
 ):
     """Build the jitted train step.
 
@@ -141,10 +143,21 @@ def make_train_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        if param_sharding == "fsdp":
+            # ZeRO-3 style: params + optimizer state sharded over the data
+            # axis (see parallel.fsdp). XLA inserts the all-gathers /
+            # reduce-scatters from the sharding annotations.
+            if state_example is None:
+                raise ValueError("fsdp sharding needs state_example")
+            from .fsdp import fsdp_sharding_tree
+
+            state_sh = fsdp_sharding_tree(state_example, mesh)
+        else:
+            state_sh = repl
         return jax.jit(
             step_fn,
-            in_shardings=(repl, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, data, repl),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -118,7 +118,17 @@ def main(argv=None):
     mesh = make_mesh()
     accum = cfg.get("gradient_accumulation_steps", 1)
     state = TrainState.create(params, buffers, tx)
-    state = replicate(state, mesh)
+    # param_sharding: "replicated" (DDP-equivalent) or "fsdp" (ZeRO-3-style
+    # param+optimizer sharding; needed for EVA-giant-scale training).
+    param_sharding = cfg.get("param_sharding", "replicated")
+    if param_sharding == "fsdp":
+        from ..parallel import fsdp_place
+
+        state_host = state
+        state = fsdp_place(state, mesh)
+    else:
+        state_host = state
+        state = replicate(state, mesh)
     from functools import partial as _partial
 
     from ..models import criterion as criterion_fn
@@ -126,6 +136,7 @@ def main(argv=None):
     loss_cfg = cfg.get("loss", {}) or {}
     step_fn = make_train_step(
         model, tx, mesh, accum_steps=accum,
+        param_sharding=param_sharding, state_example=state_host,
         criterion=_partial(
             criterion_fn, use_soft_iou=loss_cfg.get("use_soft_iou", False)
         ),
@@ -146,7 +157,12 @@ def main(argv=None):
         restored = ckpt_mgr.restore(
             latest, args=ocp.args.StandardRestore(jax.device_get(state))
         )
-        state = replicate(restored, mesh)
+        if param_sharding == "fsdp":
+            from ..parallel import fsdp_place
+
+            state = fsdp_place(restored, mesh)
+        else:
+            state = replicate(restored, mesh)
         global_step = int(jax.device_get(state.step))
         start_epoch = latest
         print(f"resumed from epoch {latest} (global step {global_step})")

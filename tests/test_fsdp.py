@@ -1,0 +1,102 @@
+"""FSDP-sharded training step vs replicated: same results, sharded memory."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_sam_tpu.models import (
+    PointCloudSAM,
+    PointSAMConfig,
+    TokenizerConfig,
+)
+from point_sam_tpu.parallel import (
+    TrainState,
+    fsdp_place,
+    fsdp_sharding_tree,
+    make_mesh,
+    make_optimizer,
+    make_train_step,
+    replicate,
+    shard_batch,
+)
+from point_sam_tpu.train import warmup_multistep
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = PointSAMConfig(vit="tiny", tokenizer=TokenizerConfig(16, 8),
+                         prompt_iters=2)
+    model = PointCloudSAM(cfg)
+    rng = np.random.default_rng(0)
+    B, N, M = 8, 192, 2
+    coords = rng.standard_normal((B, N, 3)).astype(np.float32)
+    coords /= np.abs(coords).max() + 1e-3
+    feats = rng.random((B, N, 3)).astype(np.float32)
+    gt = np.zeros((B, M, N), bool)
+    for b in range(B):
+        for m in range(M):
+            d = ((coords[b] - coords[b, rng.integers(N)]) ** 2).sum(-1)
+            gt[b, m] = d < np.quantile(d, 0.3)
+    batch = dict(coords=jnp.asarray(coords), features=jnp.asarray(feats),
+                 gt_masks=jnp.asarray(gt))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        batch["coords"], batch["features"], batch["gt_masks"],
+    )
+    params = variables["params"]
+    buffers = {k: v for k, v in variables.items() if k != "params"}
+    return model, params, buffers, batch
+
+
+def test_fsdp_step_matches_replicated(setup):
+    model, params, buffers, batch = setup
+    mesh = make_mesh()
+    tx = make_optimizer(warmup_multistep(1e-3, [100], warmup_iters=5))
+    state = TrainState.create(params, buffers, tx)
+
+    with mesh:
+        b = shard_batch(batch, mesh)
+        rng = jax.device_put(
+            jax.random.PRNGKey(0),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        )
+
+        step_r = make_train_step(model, tx, mesh, donate=False)
+        s_r, m_r = step_r(replicate(state, mesh), b, rng)
+
+        state_f = fsdp_place(state, mesh)
+        step_f = make_train_step(model, tx, mesh, donate=False,
+                                 param_sharding="fsdp",
+                                 state_example=state)
+        s_f, m_f = step_f(state_f, b, rng)
+
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_f["loss"]),
+                               rtol=2e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, c: float(jnp.abs(a - c).max()),
+        jax.device_get(s_r.params), jax.device_get(s_f.params),
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 2e-5
+
+    # Big leaves are actually sharded over the 8 devices.
+    sh_tree = fsdp_sharding_tree(state, mesh)
+    flat = jax.tree_util.tree_leaves_with_path(sh_tree)
+    sharded = [jax.tree_util.keystr(p) for p, s in flat
+               if s.spec != jax.sharding.PartitionSpec()]
+    assert len(sharded) > 10, "expected many sharded leaves"
+
+
+def test_fsdp_spec_picks_divisible_axis():
+    mesh = make_mesh()
+    from point_sam_tpu.parallel.fsdp import _leaf_spec
+
+    assert _leaf_spec(np.zeros((2048, 513)), 8, 1024) == \
+        jax.sharding.PartitionSpec("data", None)
+    assert _leaf_spec(np.zeros((513, 1024)), 8, 1024) == \
+        jax.sharding.PartitionSpec(None, "data")
+    # nothing divisible -> replicated
+    assert _leaf_spec(np.zeros((513, 515)), 8, 1024) == \
+        jax.sharding.PartitionSpec()
+    # too small -> replicated
+    assert _leaf_spec(np.zeros((8, 8)), 8, 1024) == jax.sharding.PartitionSpec()
