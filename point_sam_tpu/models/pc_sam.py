@@ -271,7 +271,9 @@ class PointCloudSAM(nn.Module):
         prompt_masks = None
         outputs = []
         for i in range(iters):
-            statically_refine = refinement and i == iters - 1
+            # Iteration 0 always clicks, even when it's also the last
+            # (the reference's `i == 0 or ...` short-circuit, :140).
+            statically_refine = refinement and i == iters - 1 and i != 0
             if not statically_refine:
                 new_pc, new_pl = sample_prompts(
                     coords, gt_masks, prompt_masks, point_valid=point_valid

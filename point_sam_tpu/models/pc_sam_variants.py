@@ -418,7 +418,9 @@ def _click_loop(model, pc_embeddings, pc_pe, coords, geom, gt_masks, *,
     prompt_masks = None
     outputs = []
     for i in range(iters):
-        statically_refine = refinement and i == iters - 1
+        # Iteration 0 always clicks, even when it's also the last
+        # (the reference's `i == 0 or ...` short-circuit, pc_sam.py:140).
+        statically_refine = refinement and i == iters - 1 and i != 0
         if not statically_refine:
             if sampler == "random":
                 new_pc, new_pl = sample_prompts_random(

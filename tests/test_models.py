@@ -197,6 +197,20 @@ class TestPointCloudSAM:
         iters = model.cfg.prompt_iters
         assert counts[0] in (iters - 2, iters - 1)
 
+    def test_single_iteration_still_clicks(self, rng):
+        """prompt_iters=1: the lone iteration is both first and last; the
+        reference's `i == 0 or ...` short-circuit means it must click."""
+        coords, feats, gt = make_inputs(rng, B=1, N=128, M=1)
+        model = PointCloudSAM(PointSAMConfig(
+            vit="tiny", tokenizer=TokenizerConfig(16, 8), prompt_iters=1))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+            coords, feats, gt,
+        )
+        outputs = model.apply(variables, coords, feats, gt,
+                              rngs={"sampler": jax.random.PRNGKey(2)})
+        assert bool(outputs[0]["prompt_valid"].all())
+
     def test_predict_masks_api(self, model_and_vars):
         model, variables, (coords, feats, gt) = model_and_vars
         B, M, N = gt.shape
