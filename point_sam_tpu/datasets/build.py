@@ -61,16 +61,21 @@ class ConcatDataset:
         return self.datasets[d][i - int(self.offsets[d])]
 
 
-def build_dataset(ds_cfg: dict, *, num_samples_default: int | None = None,
-                  seed: int = 0):
-    """Build one dataset (or a mixture) from a configs/dataset/*.yaml dict."""
+def build_dataset(ds_cfg: dict, *, seed: int = 0,
+                  context: dict | None = None):
+    """Build one dataset (or a mixture) from a configs/dataset/*.yaml dict.
+
+    ``context`` carries run-level interpolation vars (``num_samples``) into
+    standalone group loads for mixtures (reference configs interpolate
+    ``${num_samples}`` from the run config, configs/base.yaml:9).
+    """
     if "dataset_dict" in ds_cfg:
         from ..utils.config import load_config
 
         parts = []
         for _, item in ds_cfg["dataset_dict"].items():
-            sub = load_config(f"dataset/{item}")
-            parts.append(build_dataset(sub, seed=seed))
+            sub = load_config(f"dataset/{item}", context=context)
+            parts.append(build_dataset(sub, seed=seed, context=context))
         return ConcatDataset(parts)
 
     spec = dict(ds_cfg["dataset"])

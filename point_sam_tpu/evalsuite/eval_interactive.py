@@ -102,7 +102,7 @@ class InteractiveEvaluator:
         clicks = self.num_clicks
 
         @jax.jit
-        def run(variables, coords, feats, valid, gt_masks, mask_valid):
+        def run(variables, coords, feats, valid, gt_masks):
             geom = model.make_geometry(coords, point_valid=valid,
                                        tokenizer=tok)
             emb, pc_pe, *extras = model.apply(
@@ -179,11 +179,10 @@ class InteractiveEvaluator:
                 )
             gm = np.zeros((1, mb, n_pad), bool)
             gm[0, :, :n] = chunk
-            mv = np.zeros((1, mb), bool)
-            mv[0, :real] = True
+            # Padded rows duplicate mask 0 (fixed shapes; results dropped).
             ious = np.asarray(
                 run(self.variables, jnp.asarray(coords), jnp.asarray(feats),
-                    jnp.asarray(valid), jnp.asarray(gm), jnp.asarray(mv))
+                    jnp.asarray(valid), jnp.asarray(gm))
             )  # [clicks, mb]
             out[s : s + real] = ious[:, :real].T
         return out

@@ -30,51 +30,10 @@ KITTI_ROTATION = _euler_matrix("xyz", np.array([-90.0, 180.0, 0.0]))
 
 def _read_crop(path: Path):
     """Read a crop PLY including its per-vertex label column."""
-    import numpy as np
-
-    # utils.ply reads xyz/rgb; the label column needs the raw record.
-    with open(path, "rb") as f:
-        header = []
-        while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
-            header.append(line)
-            if line == "end_header":
-                break
-        fmt = next(
-            (h.split()[1] for h in header if h.startswith("format")), None)
-        count = int(next(
-            h.split()[2] for h in header if h.startswith("element vertex")))
-        from ..utils.ply import _PLY_TO_NP
-
-        props = []
-        in_vertex = False
-        for h in header:
-            if h.startswith("element"):
-                in_vertex = h.startswith("element vertex")
-            elif h.startswith("property") and in_vertex:
-                parts = h.split()
-                props.append((parts[-1], _PLY_TO_NP[parts[1]]))
-        if fmt == "ascii":
-            rows = [f.readline().split() for _ in range(count)]
-            data = np.asarray(rows, np.float64)
-            arr = {name: data[:, i] for i, (name, _) in enumerate(props)}
-        else:
-            endian = "<" if fmt == "binary_little_endian" else ">"
-            dtype = np.dtype([(n, endian + t) for n, t in props])
-            rec = np.frombuffer(f.read(dtype.itemsize * count), dtype=dtype,
-                                count=count)
-            arr = {n: rec[n] for n, _ in props}
-    xyz = np.stack([arr["x"], arr["y"], arr["z"]], 1).astype(np.float32)
-    rgb = None
-    for keys in (("R", "G", "B"), ("red", "green", "blue")):
-        if all(k in arr for k in keys):
-            rgb = np.stack([arr[k] for k in keys], 1)
-            break
-    label = None
-    for k in ("label", "instance", "scalar_label"):
-        if k in arr:
-            label = np.asarray(arr[k])
-            break
+    xyz, rgb, extras = load_ply(
+        path, extra_props=("label", "instance", "scalar_label")
+    )
+    label = next((v for v in extras.values() if v is not None), None)
     return xyz, rgb, label
 
 

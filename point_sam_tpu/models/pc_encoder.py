@@ -73,6 +73,9 @@ class PatchEmbedNN(nn.Module):
                             name=f"blocks1_{i}")(x)
         from ..ops import scatter_max
 
+        # Padded points must never win the per-cell max.
+        if geom.get("point_valid") is not None:
+            x = jnp.where(geom["point_valid"][..., None], x, -jnp.inf)
         y = scatter_max(x, geom["nn_idx"], self.num_patches)
         for i in range(3):
             y = _PreLNBlock(self.hidden_dim, dtype=self.dtype,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import batch_index_select, sample_prompts
+from ..ops import batch_index_select, sample_prompts, sample_prompts_random
 from .mask_decoder import MaskDecoder
 from .pc_encoder import PatchEmbed, PointCloudEncoder
 from .prompt_encoder import MaskEncoder, PointEncoder
@@ -244,81 +244,94 @@ class PointCloudSAM(nn.Module):
             prompt_labels, prompt_valid, masks, iou_preds, max_iou_pred_ind,
             prompt_masks — mirroring the reference output contract (:185-194).
         """
-        c = self.cfg
-        B, M, N = gt_masks.shape
-        BM = B * M
-        iters = c.prompt_iters
-
-        geom = compute_geometry(coords, c.tokenizer, point_valid=point_valid)
+        geom = compute_geometry(coords, self.cfg.tokenizer,
+                                point_valid=point_valid)
         pc_embeddings, pc_pe = self.encode(
             coords, features, geom, deterministic=is_eval
         )
+        return _click_loop(
+            self, pc_embeddings, pc_pe, coords, geom, gt_masks,
+            is_eval=is_eval, point_valid=point_valid, sampler="fixed",
+        )
 
-        # Fixed prompt buffers, one slot per iteration.
-        buf_coords = jnp.zeros((BM, iters, 3), coords.dtype)
-        buf_labels = jnp.zeros((BM, iters), bool)
-        buf_valid = jnp.zeros((BM, iters), bool)
 
-        refinement = c.enable_mask_refinement_iterations and not is_eval
-        if refinement and iters > 1:
-            # One random refinement iteration in [1, iters) (reference :131).
-            sampled_refine = jax.random.randint(
-                self.make_rng("sampler"), (), 1, iters
-            )
-        else:
-            sampled_refine = jnp.asarray(-1, jnp.int32)
+# ===================================================== shared click loop
+def _click_loop(model, pc_embeddings, pc_pe, coords, geom, gt_masks, *,
+                is_eval, point_valid, sampler, decode_extra=None):
+    """The shared unrolled prompt-iteration loop (reference pc_sam.py:139-194;
+    same semantics as PointCloudSAM.__call__)."""
+    c = model.cfg
+    B, M, N = gt_masks.shape
+    BM = B * M
+    iters = c.prompt_iters
 
-        prompt_masks = None
-        outputs = []
-        for i in range(iters):
-            # Iteration 0 always clicks, even when it's also the last
-            # (the reference's `i == 0 or ...` short-circuit, :140).
-            statically_refine = refinement and i == iters - 1 and i != 0
-            if not statically_refine:
+    buf_coords = jnp.zeros((BM, iters, 3), coords.dtype)
+    buf_labels = jnp.zeros((BM, iters), bool)
+    buf_valid = jnp.zeros((BM, iters), bool)
+
+    refinement = c.enable_mask_refinement_iterations and not is_eval
+    if refinement and iters > 1:
+        sampled_refine = jax.random.randint(
+            model.make_rng("sampler"), (), 1, iters
+        )
+    else:
+        sampled_refine = jnp.asarray(-1, jnp.int32)
+
+    prompt_masks = None
+    outputs = []
+    for i in range(iters):
+        # Iteration 0 always clicks, even when it's also the last
+        # (the reference's `i == 0 or ...` short-circuit, pc_sam.py:140).
+        statically_refine = refinement and i == iters - 1 and i != 0
+        if not statically_refine:
+            if sampler == "random":
+                new_pc, new_pl = sample_prompts_random(
+                    model.make_rng("sampler"), coords, gt_masks, prompt_masks,
+                    point_valid=point_valid,
+                )
+            else:
                 new_pc, new_pl = sample_prompts(
                     coords, gt_masks, prompt_masks, point_valid=point_valid
                 )
-                take = (
-                    jnp.asarray(True)
-                    if i == 0
-                    else jnp.asarray(i, jnp.int32) != sampled_refine
-                )
-                buf_coords = buf_coords.at[:, i].set(
-                    jnp.where(take, new_pc[:, 0], 0.0)
-                )
-                buf_labels = buf_labels.at[:, i].set(new_pl[:, 0] & take)
-                buf_valid = buf_valid.at[:, i].set(take)
+            take = (
+                jnp.asarray(True)
+                if i == 0
+                else jnp.asarray(i, jnp.int32) != sampled_refine
+            )
+            buf_coords = buf_coords.at[:, i].set(jnp.where(take, new_pc[:, 0], 0.0))
+            buf_labels = buf_labels.at[:, i].set(new_pl[:, 0] & take)
+            buf_valid = buf_valid.at[:, i].set(take)
 
-            masks, iou_preds = self.decode(
-                pc_embeddings,
-                pc_pe,
-                coords,
-                geom,
-                buf_coords[:, : i + 1],
-                buf_labels[:, : i + 1],
-                prompt_masks,
+        extra = decode_extra or {}
+        if extra:
+            masks, iou_preds = model.decode(
+                pc_embeddings, pc_pe, coords, geom, extra["embeddings_l1"],
+                buf_coords[:, : i + 1], buf_labels[:, : i + 1], prompt_masks,
+                prompt_valid=buf_valid[:, : i + 1], multimask_output=(i == 0),
+            )
+        else:
+            masks, iou_preds = model.decode(
+                pc_embeddings, pc_pe, coords, geom,
+                buf_coords[:, : i + 1], buf_labels[:, : i + 1], prompt_masks,
+                prompt_valid=buf_valid[:, : i + 1], multimask_output=(i == 0),
+            )
+
+        if i == 0:
+            max_iou_pred_ind = jnp.argmax(iou_preds, axis=1)
+            prompt_masks = batch_index_select(masks, max_iou_pred_ind, axis=1)
+        else:
+            max_iou_pred_ind = jnp.zeros((BM,), jnp.int32)
+            prompt_masks = masks[:, 0]
+
+        outputs.append(
+            dict(
+                prompt_coords=buf_coords[:, : i + 1],
+                prompt_labels=buf_labels[:, : i + 1],
                 prompt_valid=buf_valid[:, : i + 1],
-                multimask_output=(i == 0),
+                masks=masks,
+                iou_preds=iou_preds,
+                max_iou_pred_ind=max_iou_pred_ind,
+                prompt_masks=prompt_masks,
             )
-
-            if i == 0:
-                max_iou_pred_ind = jnp.argmax(iou_preds, axis=1)  # [B*M]
-                prompt_masks = batch_index_select(
-                    masks, max_iou_pred_ind, axis=1
-                )  # [B*M, N]
-            else:
-                max_iou_pred_ind = jnp.zeros((BM,), jnp.int32)
-                prompt_masks = masks[:, 0]
-
-            outputs.append(
-                dict(
-                    prompt_coords=buf_coords[:, : i + 1],
-                    prompt_labels=buf_labels[:, : i + 1],
-                    prompt_valid=buf_valid[:, : i + 1],
-                    masks=masks,
-                    iou_preds=iou_preds,
-                    max_iou_pred_ind=max_iou_pred_ind,
-                    prompt_masks=prompt_masks,
-                )
-            )
-        return outputs
+        )
+    return outputs

@@ -25,15 +25,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import (
-    batch_index_select,
-    interpolate_features_repeated,
-    repeat_interleave,
-    sample_prompts,
-    sample_prompts_random,
-)
+from ..ops import interpolate_features_repeated, repeat_interleave
 from .layers import MLP, LayerNorm
 from .mask_decoder import MaskDecoder
+from .pc_sam import _click_loop
 from .pc_encoder import PatchEmbedHier, PatchEmbedNN, PointCloudEncoder
 from .prompt_encoder import MaskEncoderHier, MaskEncoderNN, PointEncoder
 from .tokenizer import (
@@ -111,7 +106,8 @@ class PointCloudSAMNN(nn.Module):
                multimask_output=True):
         sparse = self.point_encoder(prompt_coords, prompt_labels)
         dense = self.mask_encoder(
-            prompt_masks, coords, geom["centers"], geom["nn_idx"]
+            prompt_masks, coords, geom["centers"], geom["nn_idx"],
+            geom.get("point_valid"),
         )
         return self.mask_decoder(
             pc_embeddings, pc_pe, sparse, dense,
@@ -391,84 +387,3 @@ class PointCloudSAMHier(nn.Module):
             sampler="random",  # reference pc_sam.py:434
             decode_extra=dict(embeddings_l1=x1),
         )
-
-
-# ===================================================== shared click loop
-def _click_loop(model, pc_embeddings, pc_pe, coords, geom, gt_masks, *,
-                is_eval, point_valid, sampler, decode_extra=None):
-    """The shared unrolled prompt-iteration loop (reference pc_sam.py:139-194;
-    same semantics as PointCloudSAM.__call__)."""
-    c = model.cfg
-    B, M, N = gt_masks.shape
-    BM = B * M
-    iters = c.prompt_iters
-
-    buf_coords = jnp.zeros((BM, iters, 3), coords.dtype)
-    buf_labels = jnp.zeros((BM, iters), bool)
-    buf_valid = jnp.zeros((BM, iters), bool)
-
-    refinement = c.enable_mask_refinement_iterations and not is_eval
-    if refinement and iters > 1:
-        sampled_refine = jax.random.randint(
-            model.make_rng("sampler"), (), 1, iters
-        )
-    else:
-        sampled_refine = jnp.asarray(-1, jnp.int32)
-
-    prompt_masks = None
-    outputs = []
-    for i in range(iters):
-        # Iteration 0 always clicks, even when it's also the last
-        # (the reference's `i == 0 or ...` short-circuit, pc_sam.py:140).
-        statically_refine = refinement and i == iters - 1 and i != 0
-        if not statically_refine:
-            if sampler == "random":
-                new_pc, new_pl = sample_prompts_random(
-                    model.make_rng("sampler"), coords, gt_masks, prompt_masks
-                )
-            else:
-                new_pc, new_pl = sample_prompts(
-                    coords, gt_masks, prompt_masks, point_valid=point_valid
-                )
-            take = (
-                jnp.asarray(True)
-                if i == 0
-                else jnp.asarray(i, jnp.int32) != sampled_refine
-            )
-            buf_coords = buf_coords.at[:, i].set(jnp.where(take, new_pc[:, 0], 0.0))
-            buf_labels = buf_labels.at[:, i].set(new_pl[:, 0] & take)
-            buf_valid = buf_valid.at[:, i].set(take)
-
-        extra = decode_extra or {}
-        if extra:
-            masks, iou_preds = model.decode(
-                pc_embeddings, pc_pe, coords, geom, extra["embeddings_l1"],
-                buf_coords[:, : i + 1], buf_labels[:, : i + 1], prompt_masks,
-                prompt_valid=buf_valid[:, : i + 1], multimask_output=(i == 0),
-            )
-        else:
-            masks, iou_preds = model.decode(
-                pc_embeddings, pc_pe, coords, geom,
-                buf_coords[:, : i + 1], buf_labels[:, : i + 1], prompt_masks,
-                prompt_valid=buf_valid[:, : i + 1], multimask_output=(i == 0),
-            )
-
-        if i == 0:
-            max_iou_pred_ind = jnp.argmax(iou_preds, axis=1)
-            prompt_masks = batch_index_select(masks, max_iou_pred_ind, axis=1)
-        else:
-            max_iou_pred_ind = jnp.zeros((BM,), jnp.int32)
-            prompt_masks = masks[:, 0]
-
-        outputs.append(
-            dict(
-                prompt_coords=buf_coords[:, : i + 1],
-                prompt_labels=buf_labels[:, : i + 1],
-                prompt_valid=buf_valid[:, : i + 1],
-                masks=masks,
-                iou_preds=iou_preds,
-                max_iou_pred_ind=max_iou_pred_ind,
-                prompt_masks=prompt_masks,
-            )
-        )
-    return outputs

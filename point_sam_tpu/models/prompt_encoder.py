@@ -163,9 +163,10 @@ class MaskEncoderNN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, masks, coords, centers, nn_idx):
+    def __call__(self, masks, coords, centers, nn_idx, point_valid=None):
         """masks [B*M, N] logits or None; coords [B, N, 3]; centers [B, L, 3];
-        nn_idx [B, N] voronoi assignment."""
+        nn_idx [B, N] voronoi assignment; point_valid [B, N] padding mask
+        (padded points are excluded from the per-cell max)."""
         no_mask_embed = self.param(
             "no_mask_embed", nn.initializers.normal(1.0), (self.embed_dim,),
             jnp.float32,
@@ -188,6 +189,10 @@ class MaskEncoderNN(nn.Module):
         feats = jnp.concatenate([masks[..., None], nbr, dist], axis=-1)  # [BM,N,5]
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="first_nn")(feats.astype(self.dtype))
+        if point_valid is not None:
+            pv = repeat_interleave(point_valid, x.shape[0] //
+                                   point_valid.shape[0], axis=0)
+            x = jnp.where(pv[..., None], x, -jnp.inf)
         y = scatter_max(x, nn_idx, self.num_patches)  # [BM, L, hidden]
         # ResMlp (reference prompt_encoder.py:199-211).
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,

@@ -80,7 +80,10 @@ def compute_geometry_voronoi(
     fps_idx = fps(coords, num_patches, valid=point_valid)
     centers = batch_index_select(coords, fps_idx, axis=1)
     _, nn_idx = nn1(coords, centers)
-    out = dict(fps_idx=fps_idx, centers=centers, nn_idx=nn_idx)
+    # point_valid rides in the geometry so the scatter-max consumers can
+    # exclude padded points (they must never win the per-cell max).
+    out = dict(fps_idx=fps_idx, centers=centers, nn_idx=nn_idx,
+               point_valid=point_valid)
     if with_interp:
         idx, w = compute_interp_weights(coords, centers)
         out["interp_index"], out["interp_weight"] = idx, w

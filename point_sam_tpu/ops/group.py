@@ -31,6 +31,12 @@ def batch_index_select(x: jnp.ndarray, idx: jnp.ndarray, axis: int = 1) -> jnp.n
     Returns:
         Gathered array with idx's shape in place of x's ``axis``.
     """
+    if axis != 1 and idx.ndim > 2:
+        # The axis-restore below only relocates the last gathered dim; with
+        # multi-dim indices the result would be silently transposed.
+        raise NotImplementedError(
+            "batch_index_select with axis != 1 supports 2-D idx only"
+        )
     if axis != 1:
         x = jnp.moveaxis(x, axis, 1)
     B, N = x.shape[:2]

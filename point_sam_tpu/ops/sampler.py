@@ -197,12 +197,15 @@ def sample_prompts_random(
     coords: jnp.ndarray,
     gt_masks: jnp.ndarray,
     pred_logits: jnp.ndarray | None = None,
+    *,
+    point_valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Uniform-random click in the error region (reference common.py:319-365).
 
     Kept for API completeness; the training adapter uses the fixed
     farthest-from-border sampler (see module docstring). Fixed-shape trick:
-    random point = masked argmax over iid gumbel noise.
+    random point = masked argmax over iid gumbel noise. ``point_valid``
+    excludes padded points from both the error region and the fallback.
     """
     B, M, N = gt_masks.shape
     if pred_logits is None:
@@ -210,10 +213,15 @@ def sample_prompts_random(
     else:
         pred = pred_logits.reshape(B, M, N) > 0
         diff = gt_masks != pred
+    gt_eff = gt_masks
+    if point_valid is not None:
+        pv = point_valid[:, None, :]
+        diff = diff & pv
+        gt_eff = gt_masks & pv
     # Fall back to the gt mask when the error region is empty
     # (common.py:356-357).
     empty = ~jnp.any(diff, axis=-1, keepdims=True)
-    diff = jnp.where(empty, gt_masks, diff)
+    diff = jnp.where(empty, gt_eff, diff)
 
     noise = jax.random.gumbel(rng, (B, M, N))
     sel = jnp.argmax(jnp.where(diff, noise, -_INF), axis=-1)  # [B, M]

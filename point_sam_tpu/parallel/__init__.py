@@ -1,6 +1,6 @@
 """Mesh / sharding / distributed training step (SURVEY.md §2.4)."""
 
-from .fsdp import fsdp_place, fsdp_sharding_tree
+from .fsdp import fsdp_init_state, fsdp_place, fsdp_sharding_tree
 from .mesh import (
     DATA_AXIS,
     batch_sharding,
@@ -9,10 +9,11 @@ from .mesh import (
     replicated,
     shard_batch,
 )
-from .train_step import TrainState, eval_step, make_optimizer, make_train_step
+from .train_step import TrainState, make_optimizer, make_train_step
 
 __all__ = [
     "DATA_AXIS",
+    "fsdp_init_state",
     "fsdp_place",
     "fsdp_sharding_tree",
     "batch_sharding",
@@ -21,7 +22,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "TrainState",
-    "eval_step",
     "make_optimizer",
     "make_train_step",
 ]

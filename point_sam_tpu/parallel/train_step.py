@@ -181,27 +181,3 @@ def _metrics_from_aux(outputs, aux, gt_flat):
         metrics[f"{tag}/loss_mask"] = aux[i]["loss_mask"]
         metrics[f"{tag}/loss_iou"] = aux[i]["loss_iou"]
     return metrics
-
-
-@partial(jax.jit, static_argnames=("model",))
-def eval_step(model, variables, coords, features, gt_masks):
-    """Validation forward (is_eval=True): per-click IoU + best-of-multimask
-    IoU (reference train.py:197-235)."""
-    outputs = model.apply(variables, coords, features, gt_masks, is_eval=True)
-    B, M, N = gt_masks.shape
-    gt_flat = gt_masks.reshape(B * M, N)
-    from ..models import compute_iou
-
-    ious = []
-    for i, out in enumerate(outputs):
-        if i == 0:
-            best = jnp.take_along_axis(
-                out["masks"], out["max_iou_pred_ind"][:, None, None], axis=1
-            )[:, 0]
-            # "best over multimask by gt IoU" diagnostic (train.py:222-227).
-            multi_iou = compute_iou(out["masks"], gt_flat[:, None, :])
-            best_multi_iou = jnp.max(multi_iou, axis=1)
-        else:
-            best = out["masks"][:, 0]
-        ious.append(compute_iou(best, gt_flat))
-    return jnp.stack(ious, axis=0), best_multi_iou  # [iters, B*M], [B*M]

@@ -205,8 +205,9 @@ class Predictor:
         p_pad = _next_pow2(p)
 
         pc = np.zeros((1, p_pad, 3), np.float32)
-        pc[0, :p] = (pts - self._shift) / self._scale if self._scale != 1.0 \
-            else pts
+        # shift=0/scale=1 when set_pointcloud didn't normalize, so applying
+        # unconditionally is a no-op in that case (and correct otherwise).
+        pc[0, :p] = (pts - self._shift) / self._scale
         pl = np.zeros((1, p_pad), bool)
         pl[0, :p] = labs
         pv = np.zeros((1, p_pad), bool)

@@ -58,7 +58,8 @@ def main(argv=None):
     print(f"model: {type(model).__name__} ({cfg.model.get('vit')})")
 
     # -------------------------------------------------------------- data
-    train_ds = build_dataset(cfg.train_dataset, seed=seed)
+    ctx = {"num_samples": cfg.get("num_samples")}
+    train_ds = build_dataset(cfg.train_dataset, seed=seed, context=ctx)
     train_iter = BatchIterator(
         train_ds,
         cfg.train_dataloader.batch_size,
@@ -68,7 +69,7 @@ def main(argv=None):
     )
     val_iter = None
     if cfg.get("val_freq", 0) > 0:
-        val_ds = build_dataset(cfg.val_dataset, seed=seed + 1)
+        val_ds = build_dataset(cfg.val_dataset, seed=seed + 1, context=ctx)
         val_iter = BatchIterator(
             val_ds, cfg.val_dataloader.batch_size, shuffle=False,
             drop_last=False, seed=seed,
@@ -89,46 +90,71 @@ def main(argv=None):
     )
 
     # ------------------------------------------------------------- init
-    first = next(iter(train_iter))
-    init_batch = {k: jnp.asarray(v) for k, v in first.items()}
-    init_fn = jax.jit(
-        lambda k0, k1, b: model.init(
-            {"params": k0, "sampler": k1},
-            b["coords"], b["features"], b["gt_masks"],
-        )
-    )
-    variables = init_fn(
-        jax.random.PRNGKey(seed), jax.random.PRNGKey(seed + 1), init_batch
-    )
-    params = variables["params"]
-    buffers = {k: v for k, v in variables.items() if k != "params"}
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
-    print(f"params: {n_params/1e6:.1f}M")
-
-    # Pretrained initialization (reference train.py:101-121): Uni3D encoder
-    # weights (torch .pt with the documented key surgery) or a full
-    # converted checkpoint (.safetensors).
-    ckpt_path = cfg.get("pretrained_ckpt_path")
-    if ckpt_path:
-        variables = _load_pretrained(ckpt_path, {"params": params, **buffers})
-        params = variables["params"]
-        buffers = {k: v for k, v in variables.items() if k != "params"}
-        print(f"initialized from {ckpt_path}")
-
     mesh = make_mesh()
     accum = cfg.get("gradient_accumulation_steps", 1)
-    state = TrainState.create(params, buffers, tx)
     # param_sharding: "replicated" (DDP-equivalent) or "fsdp" (ZeRO-3-style
     # param+optimizer sharding; needed for EVA-giant-scale training).
     param_sharding = cfg.get("param_sharding", "replicated")
-    if param_sharding == "fsdp":
-        from ..parallel import fsdp_place
+    ckpt_path = cfg.get("pretrained_ckpt_path")
 
-        state_host = state
-        state = fsdp_place(state, mesh)
+    first = next(iter(train_iter))
+    init_batch = {k: jnp.asarray(v) for k, v in first.items()}
+
+    def init_fn(k0, k1, b):
+        return model.init(
+            {"params": k0, "sampler": k1},
+            b["coords"], b["features"], b["gt_masks"],
+        )
+
+    init_args = (jax.random.PRNGKey(seed), jax.random.PRNGKey(seed + 1),
+                 init_batch)
+
+    if param_sharding == "fsdp" and not ckpt_path:
+        # Sharded from birth: no device ever holds the full fp32 params +
+        # AdamW moments (the whole point of FSDP at giant scale).
+        from ..parallel import fsdp_init_state
+
+        with mesh:
+            state = fsdp_init_state(init_fn, init_args, tx, mesh)
+
+        def _state_shape_fn(k0, k1, b):
+            v = init_fn(k0, k1, b)
+            p = v["params"]
+            buf = {k: x for k, x in v.items() if k != "params"}
+            return TrainState.create(p, buf, tx)
+
+        # Shapes-only TrainState for deriving the step's shardings.
+        state_host = jax.eval_shape(_state_shape_fn, *init_args)
+        params_for_count = state.params
     else:
+        variables = jax.jit(init_fn)(*init_args)
+        params = variables["params"]
+        buffers = {k: v for k, v in variables.items() if k != "params"}
+        # Pretrained initialization (reference train.py:101-121): Uni3D
+        # encoder weights (torch .pt with the documented key surgery) or a
+        # full converted checkpoint (.safetensors). Conversion happens on
+        # host numpy, so the fsdp path below never materializes the full
+        # state in HBM either.
+        if ckpt_path:
+            host_vars = jax.device_get({"params": params, **buffers})
+            host_vars = _load_pretrained(ckpt_path, host_vars)
+            params = host_vars["params"]
+            buffers = {k: v for k, v in host_vars.items() if k != "params"}
+            print(f"initialized from {ckpt_path}")
+        state = TrainState.create(params, buffers, tx)
         state_host = state
-        state = replicate(state, mesh)
+        if param_sharding == "fsdp":
+            from ..parallel import fsdp_place
+
+            state = fsdp_place(state, mesh)
+        else:
+            state = replicate(state, mesh)
+        params_for_count = state.params
+    n_params = sum(
+        int(np.prod(p.shape))
+        for p in jax.tree_util.tree_leaves(params_for_count)
+    )
+    print(f"params: {n_params/1e6:.1f}M")
     from functools import partial as _partial
 
     from ..models import criterion as criterion_fn

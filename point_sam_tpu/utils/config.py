@@ -83,13 +83,21 @@ def load_config(
     overrides: list[str] | None = None,
     *,
     config_root: Path | str | None = None,
+    context: dict | None = None,
 ) -> ConfigDict:
-    """Compose ``configs/<name>.yaml`` with its defaults groups + overrides."""
+    """Compose ``configs/<name>.yaml`` with its defaults groups + overrides.
+
+    ``context`` supplies extra root-level values for ``${var}`` interpolation
+    when a group file is loaded standalone (e.g. dataset files referencing
+    the run config's ``${num_samples}``).
+    """
     root_dir = Path(config_root) if config_root else CONFIG_ROOT
     path = root_dir / f"{name}.yaml"
     if not path.exists():
         raise FileNotFoundError(f"no config {path}")
     cfg = _load_yaml(path)
+    for k, v in (context or {}).items():
+        cfg.setdefault(k, v)
 
     defaults = cfg.pop("defaults", {})
     if isinstance(defaults, list):  # hydra-style list of single-key dicts

@@ -24,10 +24,12 @@ _PLY_TO_NP = {
 }
 
 
-def load_ply(path: str | Path):
+def load_ply(path: str | Path, *, extra_props: tuple[str, ...] = ()):
     """Load vertex positions (+ colors if present) from a PLY file.
 
-    Returns (xyz [N,3] float32, rgb [N,3] uint8 or None).
+    Returns (xyz [N,3] float32, rgb [N,3] uint8 or None); with
+    ``extra_props`` also returns a dict of those per-vertex columns (missing
+    names map to None) as a third element.
     """
     path = Path(path)
     with open(path, "rb") as f:
@@ -90,12 +92,16 @@ def load_ply(path: str | Path):
         [arr["x"], arr["y"], arr["z"]], axis=1
     ).astype(np.float32)
     rgb = None
-    if all(k in arr for k in ("red", "green", "blue")):
-        rgb = np.stack(
-            [arr["red"], arr["green"], arr["blue"]], axis=1
-        )
-        if rgb.dtype != np.uint8:
-            rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+    for keys in (("red", "green", "blue"), ("R", "G", "B")):
+        if all(k in arr for k in keys):
+            rgb = np.stack([arr[k] for k in keys], axis=1)
+            if rgb.dtype != np.uint8:
+                rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+            break
+    if extra_props:
+        extras = {k: (np.asarray(arr[k]) if k in arr else None)
+                  for k in extra_props}
+        return xyz, rgb, extras
     return xyz, rgb
 
 
