@@ -102,21 +102,46 @@ def main():
     for _ in range(iters):
         run()
     dt = (time.perf_counter() - t0) / iters
+    clouds_per_sec_b1 = B / dt
 
-    clouds_per_sec = B / dt
+    # Batched encode (the north-star explicitly asks batched multi-cloud
+    # encoding to saturate the MXU rather than serialize): measure B=4.
+    B4 = 2 if small else 4
+    coords4 = jnp.asarray(
+        rng.standard_normal((B4, N, 3)).astype(np.float32) / 3.0
+    )
+    feats4 = jnp.asarray(rng.random((B4, N, 3)).astype(np.float32))
 
-    # Decode rate: batched multi-prompt decode against the cached encoding
+    def run4():
+        out = encode(variables, coords4, feats4)
+        return float(out[2])
+
+    run4()
+    run4()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run4()
+    dt4 = (time.perf_counter() - t0) / iters
+    clouds_per_sec = max(clouds_per_sec_b1, B4 / dt4)
+
+    # Decode rate: batched multi-prompt decode against a CACHED encoding
     # (the interactive serving hot path; BASELINE.md "clicks/sec decode").
+    # Precompute the encoding once so the measurement is decode-only.
     M = 2 if small else 8
 
     @jax.jit
-    def decode(variables, coords, feats):
+    def encode_full(variables, coords, feats):
         geom = compute_geometry(coords, tok)
         emb, pe = model.apply(
             variables, coords, feats, geom, method=model.encode
         )
-        pc = jnp.tile(coords[:, :1, :], (M, 1, 1))
-        pl_ = jnp.ones((M, 1), bool)
+        return emb, pe, geom
+
+    emb, pe, geom = encode_full(variables, coords, feats)
+    jax.block_until_ready(emb)
+
+    @jax.jit
+    def decode_only(variables, emb, pe, coords, geom, pc, pl_):
         masks, ious = model.apply(
             variables, emb, pe, coords, geom, pc, pl_, None,
             prompt_valid=jnp.ones((M, 1), bool), multimask_output=True,
@@ -124,8 +149,11 @@ def main():
         )
         return jnp.sum(jnp.abs(ious).astype(jnp.float32)), masks
 
+    pc = jnp.tile(coords[:, :1, :], (M, 1, 1))
+    pl_ = jnp.ones((M, 1), bool)
+
     def run_decode():
-        out = decode(variables, coords, feats)
+        out = decode_only(variables, emb, pe, coords, geom, pc, pl_)
         return float(out[0])
 
     run_decode()
@@ -133,9 +161,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         run_decode()
-    # decode-only time = full pass minus the separately measured encode.
-    dt_full = (time.perf_counter() - t0) / iters
-    dt_decode = max(dt_full - dt, 1e-4)
+    dt_decode = (time.perf_counter() - t0) / iters
     clicks_per_sec = M / dt_decode
     result = {
         "metric": "encode_clouds_per_sec_100k_G2048_K256_vitL"
@@ -144,7 +170,10 @@ def main():
         "value": round(clouds_per_sec, 3),
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / A100_BASELINE_CLOUDS_PER_SEC, 3),
-        "ms_per_cloud": round(dt * 1e3 / B, 2),
+        "ms_per_cloud_b1": round(dt * 1e3 / B, 2),
+        "clouds_per_sec_b1": round(clouds_per_sec_b1, 2),
+        "clouds_per_sec_batched": round(B4 / dt4, 2),
+        "batch_size_batched": B4,
         "decode_clicks_per_sec": round(clicks_per_sec, 2),
         "decode_ms_per_batch": round(dt_decode * 1e3, 2),
         "backend": jax.default_backend(),
