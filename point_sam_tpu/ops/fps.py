@@ -111,8 +111,10 @@ def fps(
             from .fps_pallas import fps_pallas
 
             return fps_pallas(points, num_samples, valid=valid)
-        except Exception:
-            pass
+        except Exception as exc:  # pragma: no cover - exercised on Mosaic regressions
+            from ._warn import warn_fallback
+
+            warn_fallback("ops.fps", exc)
     return fps_xla(points, num_samples, valid=valid)
 
 

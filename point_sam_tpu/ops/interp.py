@@ -46,8 +46,10 @@ def compute_interp_weights(
 
         try:
             return interp_weights_pallas(query, key, eps=eps)
-        except Exception:
-            pass
+        except Exception as exc:  # pragma: no cover - exercised on Mosaic regressions
+            from ._warn import warn_fallback
+
+            warn_fallback("ops.compute_interp_weights", exc)
     d2, idx = knn(query, key, k, key_valid=key_valid)
     inv = 1.0 / jnp.maximum(d2, eps)
     weight = inv / jnp.sum(inv, axis=-1, keepdims=True)

@@ -105,8 +105,21 @@ class Predictor:
         default_g = tok.num_patches if tok is not None else \
             self.model.cfg.num_patches
         default_k = getattr(tok, "patch_size", 64) if tok is not None else 64
-        if isinstance(default_g, (tuple, list)):  # hier: no runtime override
-            group_number, group_size = default_g, default_k
+        if isinstance(default_g, (tuple, list)):
+            # Hier variant: two-level override (reference README blesses
+            # per-scene G/K reconfiguration, README.md:69). A scalar override
+            # adjusts level 1 (the cloud-facing level); a 2-tuple overrides
+            # both levels.
+            def _two_level(value, default):
+                if value is None:
+                    return tuple(default)
+                if isinstance(value, (tuple, list)):
+                    assert len(value) == 2, value
+                    return tuple(int(v) for v in value)
+                return (int(value), int(default[1]))
+
+            group_number = _two_level(group_number, default_g)
+            group_size = _two_level(group_size, default_k)
         elif group_number is None:
             if n > 30000:
                 group_number, group_size = 2048, 256
@@ -142,11 +155,15 @@ class Predictor:
     def _build_encode(self, n_pad, g, k):
         import jax
 
-        from ..models.tokenizer import TokenizerConfig
+        from ..models.tokenizer import HierTokenizerConfig, TokenizerConfig
 
         base_tok = getattr(self.model.cfg, "tokenizer", None)
         if isinstance(g, (tuple, list)):
-            tok = None  # hier: use the model's own two-level config
+            tok = HierTokenizerConfig(
+                num_patches=tuple(g),
+                patch_size=tuple(k),
+                radius=getattr(base_tok, "radius", None),
+            )
         else:
             tok = TokenizerConfig(
                 num_patches=g, patch_size=k,
