@@ -5,20 +5,39 @@ every point against the newly selected center and (b) an argmax. The XLA
 ``fori_loop`` version (ops.fps) pays per-iteration kernel-launch and HBM
 round-trip costs ~2048 times. This kernel runs the WHOLE loop on-core with
 the point cloud and the running min-distance field resident in VMEM
-(100k points fp32 = 1.2 MB coordinates + 0.4 MB distances — comfortably
-inside the ~16 MB budget up to ~700k points).
+(100k points fp32 = 1.2 MB coordinates + 0.4 MB distances per batch row).
 
-Per-step cost is dominated by serial full-array reductions, so the argmax
-is hierarchical: the update pass also maintains a per-column (cross-sublane)
-max [1, N8]; the argmax then runs over that 8x-smaller array, and only the
-winning 8x128 tile is rescanned for the exact cell. Layout is lanes-major —
-point n lives at (row = n % 8, col = n // 8) — which makes the
-column-first/row-second tie-break identical to ops.fps_xla's smallest-index
-rule, so the kernel is bit-exact against the XLA reference.
+Performance shape (v2 — replaces the round-1 row-serial kernel): the loop is
+latency-bound, not FLOP-bound — each step's critical path is a handful of
+full-array reductions. Three design rules follow:
+
+1. **Everything stays on the vector unit.** The selected center's
+   coordinates are extracted with one-hot multiply-reduce passes producing
+   ``[1, 1]`` vector values that broadcast straight back into the distance
+   update; the only vector->scalar transition per step is the index write
+   into the SMEM output (scalar stores are only legal in SMEM).
+2. **Direct full-width argmax.** The running field is reduced with one
+   full-shape ``max`` and one ``where(m == best, index, BIG) -> min`` pass —
+   both run the VPU at full 8x128 width, unlike the round-1 kernel's
+   two-level column-max hierarchy whose [1, N/8] stages used 1/8 of the VPU
+   and whose drill-down serialized three scalar round-trips.
+3. **Batch rows share one grid program, stage-interleaved.** Independent
+   rows' reduction trees overlap in the in-order pipeline because the body
+   loops over rows *per stage* (all updates, then all argmaxes), so B>1
+   amortizes the per-step latency instead of multiplying it (the round-1
+   kernel's grid=(B,) ran rows strictly serially).
+
+Layout: lanes-major — point n lives at (row = n % 8, col = n // 8) — so the
+min-over-``col*8+row`` tie-break is identical to ops.fps_xla's
+smallest-index rule, keeping the kernel bit-exact against the XLA reference
+(same fp32 distance arithmetic, same selection rule).
 
 Padding: the caller passes an init-distance array that is +inf for valid
 points and -inf for padding — padded cells can never win the argmax and
 stay -inf under ``minimum`` updates.
+
+Reference being replaced: torkit3d CUDA ``sample_farthest_points``
+(reference .gitmodules:16-18, call sites pc_sam/model/common.py:91,199).
 """
 
 from __future__ import annotations
@@ -34,67 +53,73 @@ _SUBLANES = 8
 _LANES = 128
 _BIG = 2**30  # python int: a module-level jnp scalar would be a captured constant
 
+# VMEM working set per batch row: xyz [24, n8] + mind scratch [8, n8] +
+# mind0 input block [8, n8], all fp32.
+_PER_ROW_F32 = 24 + 8 + 8
+_VMEM_BUDGET_BYTES = 11 * 1024 * 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fps_kernel(first_ref, b, xyz_ref, mind0_ref, out_ref, mind_ref,
-                colmax_ref, *, num_samples: int, n8: int):
-    """One grid program = one batch row ``b``.
+def _fps_kernel(first_ref, xyz_ref, mind0_ref, out_ref, mind_ref, iota_ref,
+                *, num_samples: int, n8: int, rows: int):
+    """One grid program = ``rows`` batch rows, stage-interleaved.
 
-    Refs: first [B] int32 (SMEM, scalar-prefetch), xyz [3, 8, N8] f32 (VMEM,
-    lanes-major layout), mind0 [8, N8] f32 (VMEM), out [1, G] int32 (SMEM),
-    scratch: mind [8, N8] f32, colmax [1, N8] f32 (VMEM).
+    Refs: first [B] int32 (SMEM, scalar-prefetch), xyz [rows, 24, n8] f32
+    (VMEM; sublanes 0-7 = x, 8-15 = y, 16-23 = z of 8 consecutive points'
+    lanes-major cells), mind0 [rows, 8, n8] f32, out [B, G] int32 (SMEM,
+    full array — rows index it globally), scratch: mind [rows, 8, n8] f32,
+    iota [8, n8] int32 (point index n = col * 8 + row, shared by all rows).
     """
-    x = xyz_ref[0]
-    y = xyz_ref[1]
-    z = xyz_ref[2]
+    base = pl.program_id(0) * rows
     mind_ref[:] = mind0_ref[:]
-    colmax_ref[:] = jnp.max(mind0_ref[:], axis=0, keepdims=True)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 1)
+    iota_ref[:] = col * _SUBLANES + row8
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n8), 1)
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
-    row128 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
+    firsts = []
+    for b in range(rows):
+        f = first_ref[base + b]
+        out_ref[base + b, 0] = f
+        firsts.append(f)
 
-    def update(sel):
-        # Point n = sel sits at (row = n % 8, col = n // 8). Extract its
-        # coordinates from the aligned 8x128 tile containing its column
-        # (dynamic loads must be tile-aligned), then update distances and
-        # the per-column max in one pass.
-        r = sel % _SUBLANES
-        c = sel // _SUBLANES
-        c0 = pl.multiple_of((c // _LANES) * _LANES, _LANES)
-        onehot = ((lane128 == (c - c0)) & (row128 == r)).astype(jnp.float32)
-        # dynamic slices must come from refs (value-level dynamic_slice is
-        # not lowered by Mosaic)
-        cx = jnp.sum(xyz_ref[0, :, pl.ds(c0, _LANES)] * onehot)
-        cy = jnp.sum(xyz_ref[1, :, pl.ds(c0, _LANES)] * onehot)
-        cz = jnp.sum(xyz_ref[2, :, pl.ds(c0, _LANES)] * onehot)
-        d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
-        m = jnp.minimum(mind_ref[:], d)
-        mind_ref[:] = m
-        colmax_ref[:] = jnp.max(m, axis=0, keepdims=True)
-
-    first = first_ref[b]
-    out_ref[b, 0] = first  # out lives in SMEM: scalar stores are legal
-    update(first)
-
-    def body(g, _):
-        cm = colmax_ref[:]
-        best = jnp.max(cm)
-        c = jnp.min(jnp.where(cm == best, col_iota, _BIG))
-        c0 = pl.multiple_of((c // _LANES) * _LANES, _LANES)
-        tile = mind_ref[:, pl.ds(c0, _LANES)]  # [8, 128]
-        hit = (tile == best) & (lane128 == (c - c0))
-        r = jnp.min(jnp.where(hit, row128, _BIG))
-        sel = c * _SUBLANES + r
-        out_ref[b, g] = sel
-        update(sel)
-        return 0
+    def body(g, sels):
+        iota = iota_ref[:]
+        # Stage 1 — extract each row's current center as [1,1] vector values
+        # (one-hot FMA; no scalar unit on this path).
+        centers = []
+        for b in range(rows):
+            ohf = (iota == sels[b]).astype(jnp.float32)
+            x = xyz_ref[b, 0:_SUBLANES]
+            y = xyz_ref[b, _SUBLANES : 2 * _SUBLANES]
+            z = xyz_ref[b, 2 * _SUBLANES : 3 * _SUBLANES]
+            cx = jnp.sum(x * ohf, axis=(0, 1), keepdims=True)
+            cy = jnp.sum(y * ohf, axis=(0, 1), keepdims=True)
+            cz = jnp.sum(z * ohf, axis=(0, 1), keepdims=True)
+            centers.append((x, y, z, cx, cy, cz))
+        # Stage 2 — distance update + running-max (full 8x128-width passes).
+        bests = []
+        for b in range(rows):
+            x, y, z, cx, cy, cz = centers[b]
+            d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+            m = jnp.minimum(mind_ref[b], d)
+            mind_ref[b] = m
+            bests.append(jnp.max(m, axis=(0, 1), keepdims=True))
+        # Stage 3 — smallest index attaining the max; the jnp.min reduction
+        # to a scalar is the step's single vector->scalar transition (needed
+        # for the SMEM store and the next iteration's carried compare).
+        new_sels = []
+        for b in range(rows):
+            t = jnp.where(mind_ref[b] == bests[b], iota, _BIG)
+            sel = jnp.min(t)
+            out_ref[base + b, g] = sel
+            new_sels.append(sel)
+        return tuple(new_sels)
 
     if num_samples > 1:
-        jax.lax.fori_loop(1, num_samples, body, 0)
+        jax.lax.fori_loop(1, num_samples, body, tuple(firsts))
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
@@ -120,12 +145,17 @@ def fps_pallas(
     n_pad = _round_up(N, _SUBLANES * _LANES)
     n8 = n_pad // _SUBLANES
 
-    def to_cells(arr):  # [B, n_pad] -> [B, 8, n8], point n at (n % 8, n // 8)
-        return arr.reshape(B, n8, _SUBLANES).swapaxes(1, 2)
+    # Rows per grid program, bounded by the VMEM working set.
+    rows = max(1, min(B, _VMEM_BUDGET_BYTES // (_PER_ROW_F32 * n8 * 4)))
+    b_pad = _round_up(B, rows)
 
-    xyz = jnp.pad(points, ((0, 0), (0, n_pad - N), (0, 0)))
-    xyz = jnp.stack([to_cells(xyz[..., i]) for i in range(3)], axis=1)
-    # xyz: [B, 3, 8, n8]
+    def to_cells(arr):  # [B, n_pad] -> [B, 8, n8], point n at (n % 8, n // 8)
+        return arr.reshape(arr.shape[0], n8, _SUBLANES).swapaxes(1, 2)
+
+    xyz = jnp.pad(points, ((0, b_pad - B), (0, n_pad - N), (0, 0)))
+    xyz = jnp.concatenate(
+        [to_cells(xyz[..., i]) for i in range(3)], axis=1
+    )  # [b_pad, 24, n8]
 
     if valid is not None:
         v = jnp.pad(valid, ((0, 0), (0, n_pad - N)))
@@ -133,44 +163,38 @@ def fps_pallas(
     else:
         v = (jnp.arange(n_pad) < N)[None].repeat(B, axis=0)
         first = jnp.zeros((B,), jnp.int32)
-    mind0 = to_cells(jnp.where(v, jnp.inf, -jnp.inf).astype(jnp.float32))
+    mind0 = to_cells(
+        jnp.pad(
+            jnp.where(v, jnp.inf, -jnp.inf).astype(jnp.float32),
+            ((0, b_pad - B), (0, 0)),
+            constant_values=-jnp.inf,
+        )
+    )
+    first = jnp.pad(first, (0, b_pad - B))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(b_pad // rows,),
         in_specs=[
-            pl.BlockSpec((1, 3, _SUBLANES, n8), lambda b, *_: (b, 0, 0, 0)),
-            pl.BlockSpec((1, _SUBLANES, n8), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((rows, 3 * _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((rows, _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
         ],
-        # SMEM outputs must cover the full array (blocked SMEM shapes need
-        # (8, 128)-divisible tiles); the kernel indexes its row by program id.
-        out_specs=pl.BlockSpec((B, num_samples), lambda b, *_: (0, 0),
+        # SMEM output covers the full array; programs index rows globally.
+        out_specs=pl.BlockSpec((b_pad, num_samples), lambda i, *_: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((_SUBLANES, n8), jnp.float32),
-            pltpu.VMEM((1, n8), jnp.float32),
+            pltpu.VMEM((rows, _SUBLANES, n8), jnp.float32),
+            pltpu.VMEM((_SUBLANES, n8), jnp.int32),
         ],
     )
 
-    def kernel(first_ref, xyz_ref, mind0_ref, out_ref, mind_scratch,
-               colmax_scratch):
-        b = pl.program_id(0)
-        _fps_kernel(
-            first_ref,
-            b,
-            xyz_ref.at[0],
-            mind0_ref.at[0],
-            out_ref.at[...],
-            mind_scratch,
-            colmax_scratch,
-            num_samples=num_samples,
-            n8=n8,
-        )
-
+    kernel = functools.partial(
+        _fps_kernel, num_samples=num_samples, n8=n8, rows=rows
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, num_samples), jnp.int32),
         interpret=interpret,
     )(first, xyz, mind0)
-    return out
+    return out[:B]
