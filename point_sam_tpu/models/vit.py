@@ -40,6 +40,12 @@ class ViTConfig:
     swiglu: bool = True  # SwiGLU MLP (EVA02) vs plain GELU MLP (EVA-giant)
     mlp_norm: bool = True  # sub-LN inside the MLP (EVA02 "scale_mlp")
     qkv_fused: bool = False  # fused qkv projection (EVA-giant)
+    # timm EvaAttention's optional inner LayerNorm applied to the attention
+    # output before the final projection ("scale_attn_inner"). Off for the
+    # eva02/eva-giant presets as we model them; if the released checkpoint
+    # turns out to carry ``blocks.N.attn.norm.*`` tensors, flipping this
+    # flag (utils/convert.py maps them) restores numerics parity.
+    attn_inner_norm: bool = False
     drop_path_rate: float = 0.0
 
     @property
@@ -88,6 +94,8 @@ class EvaAttention(nn.Module):
 
         out = mha(split_heads(q), split_heads(k), split_heads(v))
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        if c.attn_inner_norm:
+            out = LayerNorm(dtype=self.dtype, name="norm")(out)
         return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
                         name="proj")(out)
 

@@ -51,13 +51,19 @@ def _interp_kernel(q_ref, k_ref, idx_ref, w_ref, *, g: int, eps: float):
     w_ref[0] = w
 
 
-@functools.partial(jax.jit, static_argnames=("tile_q", "interpret"))
+# eps is static: it must stay a python float, else the jit traces it to an
+# abstract scalar that the kernel closure illegally captures (this silently
+# forced the XLA fallback whenever the caller was itself under a jit).
+@functools.partial(jax.jit, static_argnames=("eps", "tile_q", "interpret"))
 def interp_weights_pallas(
     query: jnp.ndarray,
     key: jnp.ndarray,
     *,
     eps: float = 1e-8,
-    tile_q: int = 2048,
+    # 512 keeps the [tile_q, G] distance block at 4 MB for G=2048 — the
+    # whole working set (block + in/out double buffers) must fit the 16 MB
+    # VMEM scoped limit; 2048 OOMs at G=2048.
+    tile_q: int = 512,
     interpret: bool = False,
 ):
     """(idx [B, N, 3] int32, weight [B, N, 3] f32); matches

@@ -99,6 +99,10 @@ _rule(rf"{_B}\.attn\.proj\.bias", rf"{_BT}/attn/proj/bias", _id)
 _rule(rf"{_B}\.attn\.qkv\.weight", rf"{_BT}/attn/qkv/kernel", _t)
 _rule(rf"{_B}\.attn\.q_bias", rf"{_BT}/attn/qkv/q_bias", _id)
 _rule(rf"{_B}\.attn\.v_bias", rf"{_BT}/attn/qkv/v_bias", _id)
+# timm EvaAttention inner norm ("scale_attn_inner"; maps onto our ViT's
+# attn_inner_norm flag — see models/vit.py):
+_rule(rf"{_B}\.attn\.norm\.weight", rf"{_BT}/attn/norm/LayerNorm_0/scale", _id)
+_rule(rf"{_B}\.attn\.norm\.bias", rf"{_BT}/attn/norm/LayerNorm_0/bias", _id)
 # SwiGLU MLP (EVA02) / plain MLP (EVA-giant):
 for p in ("fc1_g", "fc1_x", "fc2", "fc1"):
     _rule(rf"{_B}\.mlp\.{p}\.weight", rf"{_BT}/mlp/{p}/kernel", _t)
@@ -169,6 +173,34 @@ _rule(r"mask_decoder\.iou_prediction_head\.layers\.(\d+)\.bias",
       r"params/mask_decoder/iou_prediction_head/Dense_\1/bias", _id)
 
 
+# ------------------------------------------------------------ key triage
+# The released checkpoint is the FULL PointCloudSAM state dict, and its timm
+# submodule (created with ``timm.create_model(name, pretrained=False)`` and
+# default num_classes, reference configs/model/default.yaml:11-13) carries
+# tensors the reference forward provably never executes
+# (pc_encoder.py:118-143 bypasses timm's patch/pos embed, cls token and
+# head; blocks run without rope). Those are safe to drop — flagged
+# ``recognized_unused`` instead of failing a strict load.
+_KNOWN_UNUSED = [re.compile(p + r"$") for p in (
+    r"pc_encoder\.transformer\.cls_token",
+    r"pc_encoder\.transformer\.pos_embed",
+    r"pc_encoder\.transformer\.patch_embed\..*",
+    r"pc_encoder\.transformer\.head\..*",
+    r"pc_encoder\.transformer\.rope\..*",
+    r"pc_encoder\.transformer\.mask_token",
+)]
+
+# Known timm-EVA variant tensors that WOULD change numerics if present and
+# our module tree has no matching leaf: qk-norm, per-block layer scale.
+# (attn.norm / sub-LN has a mapping rule above; it lands here only when the
+# model was built without ``attn_inner_norm``.)
+_KNOWN_VARIANT = [re.compile(p + r"$") for p in (
+    r"pc_encoder\.transformer\.blocks\.\d+\.attn\.(q|k)_norm\..*",
+    r"pc_encoder\.transformer\.blocks\.\d+\.gamma_[12]",
+    r"pc_encoder\.transformer\.blocks\.\d+\.ls[12]\..*",
+)]
+
+
 def map_torch_key(key: str):
     """Map one torch state-dict key -> (slash path, transform) or None."""
     for pat, tgt, tr in _RULES:
@@ -178,32 +210,78 @@ def map_torch_key(key: str):
     return None
 
 
-def convert_state_dict(sd: dict, variables: dict, *, strict: bool = True):
+def classify_unmapped(key: str) -> str:
+    """Triage a torch key with no destination in our tree.
+
+    Returns one of:
+      - "recognized_unused": a known timm tensor the reference forward never
+        executes; safe to drop even under strict loading.
+      - "variant_unsupported": a known timm-EVA variant tensor that WOULD
+        participate in the forward — dropping it silently would corrupt
+        numerics, so strict loading must fail loudly.
+      - "unknown": not in the documented key surface at all.
+    """
+    for pat in _KNOWN_UNUSED:
+        if pat.match(key):
+            return "recognized_unused"
+    for pat in _KNOWN_VARIANT:
+        if pat.match(key):
+            return "variant_unsupported"
+    return "unknown"
+
+
+def convert_state_dict(sd: dict, variables: dict, *, strict: bool = True,
+                       verbose: bool = False):
     """Convert a torch state dict onto a copy of our variables pytree.
 
-    Returns (new_variables, report) where report lists unmapped torch keys
-    and unfilled flax leaves. Fused qkv weights and indexed targets
-    (``label_embed[i]``) are assembled after the per-key pass.
+    Returns (new_variables, report). The report is a complete coverage
+    accounting of both sides:
+      - ``mapped``: count of torch keys written into the tree;
+      - ``recognized_unused``: known timm tensors the reference forward
+        never executes (cls token, timm pos/patch embed, head, rope) —
+        dropped even under ``strict=True``;
+      - ``variant_unsupported``: known timm-EVA variant tensors that WOULD
+        change numerics (qk-norm, layer scale, or a sub-LN ``attn.norm``
+        when the model was built without ``attn_inner_norm``) — strict
+        loading fails loudly on these;
+      - ``unmapped``: keys outside the documented surface (strict failure);
+      - ``unfilled``: our leaves no torch key wrote to.
+    Fused qkv weights and indexed targets (``label_embed[i]``) are
+    assembled after the per-key pass.
     """
     import jax
 
     flat = _flatten(variables)
     filled = set()
     unmapped = []
+    recognized_unused = []
+    variant_unsupported = []
     pending_qkv: dict[str, dict] = {}
     pending_indexed: dict[str, np.ndarray] = {}
+
+    def triage(key, *, had_rule: bool):
+        kind = classify_unmapped(key)
+        if kind == "recognized_unused":
+            recognized_unused.append(key)
+        elif kind == "variant_unsupported" or had_rule:
+            # A rule exists but the model tree has no such leaf: the
+            # checkpoint was produced by a module variant this model was
+            # not configured with (e.g. attn.norm without attn_inner_norm).
+            variant_unsupported.append(key)
+        else:
+            unmapped.append(key)
 
     for key, value in sd.items():
         mapped = map_torch_key(key)
         if mapped is None:
-            unmapped.append(key)
+            triage(key, had_rule=False)
             continue
         path, tr = mapped
         arr = tr(value)
         if "[" in path:  # indexed assignment, e.g. label_embed[0]
             base, idx = re.match(r"(.*)\[(\d+)\]", path).groups()
             if base not in flat:
-                unmapped.append(key)
+                triage(key, had_rule=True)
                 continue
             buf = pending_indexed.setdefault(base, np.array(flat[base]))
             buf[int(idx)] = np.asarray(arr).reshape(buf[int(idx)].shape)
@@ -217,7 +295,7 @@ def convert_state_dict(sd: dict, variables: dict, *, strict: bool = True):
             ] = arr
             continue
         if path not in flat:
-            unmapped.append(key)
+            triage(key, had_rule=True)
             continue
         if flat[path].shape != np.shape(arr):
             raise ValueError(
@@ -269,7 +347,33 @@ def convert_state_dict(sd: dict, variables: dict, *, strict: bool = True):
         flat[base] = np.asarray(buf, np.asarray(flat[base]).dtype)
 
     unfilled = sorted(set(flat) - filled)
-    report = dict(unmapped=sorted(unmapped), unfilled=unfilled)
+    report = dict(
+        mapped=len(filled),
+        unmapped=sorted(unmapped),
+        recognized_unused=sorted(recognized_unused),
+        variant_unsupported=sorted(variant_unsupported),
+        unfilled=unfilled,
+    )
+    if verbose:
+        print(
+            f"convert: mapped {report['mapped']} leaves | "
+            f"recognized_unused {len(recognized_unused)} | "
+            f"variant_unsupported {len(variant_unsupported)} | "
+            f"unknown {len(unmapped)} | unfilled {len(unfilled)}"
+        )
+        for name in ("recognized_unused", "variant_unsupported", "unmapped",
+                     "unfilled"):
+            for k in report[name]:
+                print(f"  [{name}] {k}")
+    if strict and variant_unsupported:
+        raise ValueError(
+            "checkpoint carries module-variant tensors this model was not "
+            f"configured with: {variant_unsupported[:8]} ... If these are "
+            "attn.norm.* (timm EvaAttention sub-LN), rebuild the model with "
+            "ViTConfig(attn_inner_norm=True); q_norm/k_norm or layer-scale "
+            "tensors would require the matching module additions. Loading "
+            "non-strict would silently corrupt numerics."
+        )
     if strict and unmapped:
         raise ValueError(f"unmapped torch keys: {unmapped[:10]}...")
     new_vars = _unflatten(flat, variables)

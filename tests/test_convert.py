@@ -189,6 +189,112 @@ class TestConverter:
             bias[256:], sd["pc_encoder.transformer.blocks.0.attn.v_bias"]
         )
 
+    def _vitl_variables(self, **vit_kwargs):
+        """ViT-L-*shaped* variables without materializing 300M params:
+        eval_shape the init, then zero-fill (conversion only needs shapes)."""
+        from point_sam_tpu.models.vit import ViTConfig
+
+        vit = ViTConfig(1024, 24, 16, int(1024 * 4 * 2 / 3), **vit_kwargs)
+        model = PointCloudSAM(PointSAMConfig(
+            vit=vit, tokenizer=TokenizerConfig(32, 16), prompt_iters=2))
+        shapes = jax.eval_shape(
+            lambda k: init_variables(model, k), jax.random.PRNGKey(0)
+        )
+        return jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes
+        )
+
+    def timm_extras(self, rng, embed_dim=1024, n_patches=1024):
+        """The timm-Eva tensors present in the released checkpoint but never
+        executed by the reference forward (pc_encoder.py:118-143 bypasses
+        them; timm.create_model(..., pretrained=False) keeps default
+        num_classes=1000, configs/model/default.yaml:11-13)."""
+        t = "pc_encoder.transformer"
+        return {
+            f"{t}.cls_token": rng.standard_normal(
+                (1, 1, embed_dim)).astype(np.float32),
+            f"{t}.pos_embed": rng.standard_normal(
+                (1, n_patches + 1, embed_dim)).astype(np.float32),
+            f"{t}.patch_embed.proj.weight": rng.standard_normal(
+                (embed_dim, 3, 14, 14)).astype(np.float32),
+            f"{t}.patch_embed.proj.bias": rng.standard_normal(
+                embed_dim).astype(np.float32),
+            f"{t}.head.weight": rng.standard_normal(
+                (1000, embed_dim)).astype(np.float32),
+            f"{t}.head.bias": rng.standard_normal(1000).astype(np.float32),
+            f"{t}.rope.pos_embed": rng.standard_normal(
+                (n_patches, 64)).astype(np.float32),
+        }
+
+    def test_vitl_full_surface_with_timm_extras(self):
+        """ViT-L-shaped conversion of a checkpoint carrying the full timm
+        surface: every executed tensor maps, every known-unused timm tensor
+        is recognized (not fatal), nothing is left unfilled (VERDICT r1
+        next-round #3)."""
+        rng = np.random.default_rng(0)
+        variables = self._vitl_variables()
+        sd = ref_state_dict(embed_dim=1024, depth=24,
+                            mlp_hidden=int(1024 * 4 * 2 / 3))
+        sd.update(self.timm_extras(rng))
+        new_vars, report = convert.convert_state_dict(sd, variables,
+                                                      strict=True)
+        assert report["unmapped"] == [], report["unmapped"][:5]
+        assert report["unfilled"] == [], report["unfilled"][:5]
+        assert report["variant_unsupported"] == []
+        assert len(report["recognized_unused"]) == len(self.timm_extras(rng))
+        # fc_norm naming variant also maps onto the single final norm.
+        sd2 = {("pc_encoder.transformer.fc_norm" + k[len(
+            "pc_encoder.transformer.norm"):] if k.startswith(
+            "pc_encoder.transformer.norm.") else k): v
+            for k, v in sd.items()}
+        _, report2 = convert.convert_state_dict(sd2, variables, strict=True)
+        assert report2["unfilled"] == []
+
+    def test_vitl_attn_inner_norm_variant(self):
+        """If the real checkpoint carries timm's attention sub-LN
+        (blocks.N.attn.norm.*): a model built WITHOUT attn_inner_norm must
+        fail loudly naming the flag; a model built WITH it converts fully."""
+        import pytest
+
+        rng = np.random.default_rng(0)
+        sd = ref_state_dict(embed_dim=1024, depth=24,
+                            mlp_hidden=int(1024 * 4 * 2 / 3))
+        for i in range(24):
+            sd[f"pc_encoder.transformer.blocks.{i}.attn.norm.weight"] = (
+                np.ones(1024, np.float32))
+            sd[f"pc_encoder.transformer.blocks.{i}.attn.norm.bias"] = (
+                np.zeros(1024, np.float32))
+
+        plain = self._vitl_variables()
+        with pytest.raises(ValueError, match="attn_inner_norm"):
+            convert.convert_state_dict(sd, plain, strict=True)
+        _, report = convert.convert_state_dict(sd, plain, strict=False)
+        assert len(report["variant_unsupported"]) == 48
+
+        with_norm = self._vitl_variables(attn_inner_norm=True)
+        new_vars, report = convert.convert_state_dict(sd, with_norm,
+                                                      strict=True)
+        assert report["unfilled"] == [], report["unfilled"][:5]
+        assert report["variant_unsupported"] == []
+
+    def test_qk_norm_variant_reported(self):
+        """qk-norm tensors (no module counterpart at all) are triaged as
+        variant_unsupported, not silently dropped."""
+        import pytest
+
+        model = PointCloudSAM(PointSAMConfig(
+            vit="tiny", tokenizer=TokenizerConfig(16, 8), prompt_iters=2))
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        sd = ref_state_dict()
+        sd["pc_encoder.transformer.blocks.0.attn.q_norm.weight"] = np.ones(
+            128, np.float32)
+        with pytest.raises(ValueError, match="variant"):
+            convert.convert_state_dict(sd, variables, strict=True)
+        _, report = convert.convert_state_dict(sd, variables, strict=False)
+        assert report["variant_unsupported"] == [
+            "pc_encoder.transformer.blocks.0.attn.q_norm.weight"
+        ]
+
     def test_uni3d_mapping(self):
         model = PointCloudSAM(PointSAMConfig(
             vit="tiny", tokenizer=TokenizerConfig(16, 8), prompt_iters=2))
