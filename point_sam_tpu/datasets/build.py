@@ -40,8 +40,23 @@ class HFDataset:
         return len(self.ds)
 
     def __getitem__(self, i):
+        return self.get(i)
+
+    def get(self, i, rng=None):
+        """Fetch + transform one example; ``rng`` (a per-example Generator
+        injected by the parallel loader) seeds the random transforms."""
         ex = {k: np.asarray(v) for k, v in self.ds[int(i)].items()}
-        return self.transform(ex) if self.transform else ex
+        return _apply_transform(self.transform, ex, rng)
+
+
+def _apply_transform(transform, ex, rng):
+    if transform is None:
+        return ex
+    if rng is not None:
+        ex["_rng"] = rng
+    ex = transform(ex)
+    ex.pop("_rng", None)
+    return ex
 
 
 class ConcatDataset:
@@ -55,10 +70,15 @@ class ConcatDataset:
         return int(self.offsets[-1])
 
     def __getitem__(self, i):
+        return self.get(i)
+
+    def get(self, i, rng=None):
         if not 0 <= i < len(self):
             raise IndexError(i)
         d = int(np.searchsorted(self.offsets, i, side="right") - 1)
-        return self.datasets[d][i - int(self.offsets[d])]
+        j = i - int(self.offsets[d])
+        sub = self.datasets[d]
+        return sub.get(j, rng=rng) if hasattr(sub, "get") else sub[j]
 
 
 def build_dataset(ds_cfg: dict, *, seed: int = 0,
@@ -117,38 +137,98 @@ class FlatMaskDataset:
         return len(self.mapping)
 
     def __getitem__(self, i):
+        return self.get(i)
+
+    def get(self, i, rng=None):
         scene_idx, mask_idx = self.mapping[i]
-        ex = dict(self.dataset[int(scene_idx)])
+        ds = self.dataset
+        ex = dict(ds.get(int(scene_idx), rng=rng) if hasattr(ds, "get")
+                  else ds[int(scene_idx)])
         ex["gt_masks"] = np.asarray(ex["gt_masks"])[int(mask_idx)][None]
         return ex
 
 
 class BatchIterator:
-    """Shuffling fixed-shape batcher (replaces torch DataLoader,
-    reference train.py:129-134). Single-process; the per-example transforms
-    are cheap numpy ops and the device step dominates."""
+    """Shuffling fixed-shape batcher with threaded prefetch (replaces the
+    torch DataLoader with 8-16 worker processes, reference train.py:129-134).
+
+    Example fetch + transform runs on a thread pool (numpy releases the GIL,
+    and so does the jitted device step the consumer blocks on), with
+    ``prefetch`` whole batches assembled ahead — so host-side data work
+    overlaps device compute instead of serializing with it.
+
+    Determinism: every example is transformed with its own Generator seeded
+    from ``SeedSequence([seed, epoch, index])``, so batches are bit-identical
+    for any ``num_workers`` (including 0) and independent of thread
+    scheduling — a stronger property than the reference's per-worker 128-bit
+    seeding (pc_sam/utils/torch_utils.py:8-25), which it subsumes.
+    """
 
     def __init__(self, dataset, batch_size: int, *, shuffle=True,
-                 drop_last=True, seed: int = 0):
+                 drop_last=True, seed: int = 0, num_workers: int | None = None,
+                 prefetch: int = 2):
+        import os
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        if num_workers is None:
+            num_workers = min(8, os.cpu_count() or 1)
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _fetch(self, i: int, epoch: int):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, int(i)])
+        )
+        ds = self.dataset
+        return ds.get(int(i), rng=rng) if hasattr(ds, "get") else ds[int(i)]
+
+    @staticmethod
+    def _stack(examples):
+        return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+
     def __iter__(self):
+        epoch = self._epoch
+        self._epoch += 1
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         bs = self.batch_size
         end = len(order) - (len(order) % bs if self.drop_last else 0)
-        for s in range(0, end, bs):
-            idx = order[s : s + bs]
-            examples = [self.dataset[int(i)] for i in idx]
-            yield {
-                k: np.stack([e[k] for e in examples]) for k in examples[0]
-            }
+        batches = [order[s : s + bs] for s in range(0, end, bs)]
+
+        if self.num_workers == 0:
+            for idx in batches:
+                yield self._stack([self._fetch(i, epoch) for i in idx])
+            return
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending: deque = deque()
+            it = iter(batches)
+
+            def submit(idx):
+                return [pool.submit(self._fetch, i, epoch) for i in idx]
+
+            for _ in range(self.prefetch + 1):
+                nxt = next(it, None)
+                if nxt is None:
+                    break
+                pending.append(submit(nxt))
+            while pending:
+                futs = pending.popleft()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(submit(nxt))
+                yield self._stack([f.result() for f in futs])

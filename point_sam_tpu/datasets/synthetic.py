@@ -105,9 +105,17 @@ class SyntheticDataset:
         return self.num_scenes
 
     def __getitem__(self, i: int) -> dict:
+        return self.get(i)
+
+    def get(self, i: int, rng=None) -> dict:
+        """Fetch + transform; ``rng`` (injected by the parallel loader)
+        seeds the random transforms via the ``_rng`` example key."""
         if not 0 <= i < self.num_scenes:
             raise IndexError(i)
         ex = generate_scene(self.seed * 1_000_003 + i, self.points_per_scene)
         if self.transform is not None:
+            if rng is not None:
+                ex["_rng"] = rng
             ex = self.transform(ex)
+            ex.pop("_rng", None)
         return ex

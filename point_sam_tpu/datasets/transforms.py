@@ -18,6 +18,13 @@ preserved:
 
 Output example dict: coords [N,3] float32, features [N,C] float32,
 gt_masks [M,N] bool — the fixed-shape device batch contract.
+
+Randomness: each random transform draws from ``ex["_rng"]`` when the loader
+injects one (a per-example ``np.random.Generator`` seeded from
+``SeedSequence([seed, epoch, index])`` — the thread-safe, schedule-
+independent equivalent of the reference's 128-bit per-worker seeding,
+pc_sam/utils/torch_utils.py:8-25), falling back to the generator bound at
+construction for direct single-threaded use.
 """
 
 from __future__ import annotations
@@ -80,19 +87,20 @@ class RandomSample:
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, ex: Example) -> Example:
+        rng = ex.get("_rng") or self.rng
         coords = np.asarray(ex["coords"])
         gt = np.asarray(ex["gt_masks"])  # [M, N]
         n = len(coords)
         replace = self.replace or n < self.num_samples
-        idx = self.rng.choice(n, self.num_samples, replace=replace)
+        idx = rng.choice(n, self.num_samples, replace=replace)
         if not (gt[:, idx] == 1).any():
             fg = np.nonzero((gt == 1).any(axis=0))[0]
             bg = np.nonzero((gt == 0).all(axis=0))[0]
             n_fg = int(np.ceil(self.num_samples / n * len(fg)))
             n_fg = min(n_fg, len(fg), self.num_samples)
-            fg_idx = self.rng.choice(fg, n_fg)
-            bg_idx = self.rng.choice(bg, self.num_samples - n_fg)
-            idx = self.rng.permutation(np.concatenate([fg_idx, bg_idx]))
+            fg_idx = rng.choice(fg, n_fg)
+            bg_idx = rng.choice(bg, self.num_samples - n_fg)
+            idx = rng.permutation(np.concatenate([fg_idx, bg_idx]))
         ex["coords"] = coords[idx]
         ex["features"] = np.asarray(ex["features"])[idx]
         gt = gt[:, idx]
@@ -154,13 +162,14 @@ class RandomSampleMask:
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, ex: Example) -> Example:
+        rng = ex.get("_rng") or self.rng
         gt = np.asarray(ex["gt_masks"])
         m = len(gt)
         if m < self.num_samples:
-            extra = self.rng.choice(m, self.num_samples - m, replace=True)
+            extra = rng.choice(m, self.num_samples - m, replace=True)
             sel = np.concatenate([np.arange(m), extra])
         elif m > self.num_samples:
-            sel = self.rng.choice(m, self.num_samples, replace=False)
+            sel = rng.choice(m, self.num_samples, replace=False)
         else:
             sel = np.arange(m)
         ex["gt_masks"] = gt[sel]
@@ -201,7 +210,8 @@ class RandomRotateAlongAxis:
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, ex: Example) -> Example:
-        R = _euler_matrix(self.axis, self.rng.uniform(-180, 180))
+        rng = ex.get("_rng") or self.rng
+        R = _euler_matrix(self.axis, rng.uniform(-180, 180))
         ex["coords"] = np.asarray(ex["coords"]) @ R.T
         return ex
 
@@ -216,8 +226,9 @@ class RandomRotatePerturb:
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, ex: Example) -> Example:
+        rng = ex.get("_rng") or self.rng
         angles = np.clip(
-            self.rng.normal(0, self.angle_sigma, 3),
+            rng.normal(0, self.angle_sigma, 3),
             -self.angle_clip, self.angle_clip,
         )
         R = _euler_matrix("XYZ", np.rad2deg(angles))
@@ -231,7 +242,8 @@ class RandomScale:
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, ex: Example) -> Example:
-        ex["coords"] = np.asarray(ex["coords"]) * self.rng.uniform(
+        rng = ex.get("_rng") or self.rng
+        ex["coords"] = np.asarray(ex["coords"]) * rng.uniform(
             self.low, self.high
         )
         return ex

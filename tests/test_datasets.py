@@ -58,6 +58,70 @@ class TestMixtureConfigs:
         )
 
 
+class TestParallelLoader:
+    """Threaded prefetching BatchIterator (VERDICT r1 next-round #6)."""
+
+    def _dataset(self, n=16, slow_s=0.0):
+        import time as _time
+
+        ds = SyntheticDataset(num_scenes=n, points_per_scene=512, seed=0)
+        chain = T.build_transforms(
+            [{"name": "normalize_points"},
+             {"name": "random_sample_mask", "num_samples": 2},
+             {"name": "random_sample", "num_samples": 128},
+             {"name": "random_rotate_along_axis"}],
+            rng=np.random.default_rng(0),
+        )
+        if slow_s:
+            slow = lambda ex: (_time.sleep(slow_s), ex)[1]  # noqa: E731
+            chain.transforms.append(slow)
+        ds.transform = chain
+        return ds
+
+    def test_deterministic_across_worker_counts(self):
+        batches = {}
+        for workers in (0, 4):
+            it = dbuild.BatchIterator(
+                self._dataset(), 4, shuffle=True, seed=7,
+                num_workers=workers,
+            )
+            batches[workers] = list(it)
+        assert len(batches[0]) == len(batches[4]) == 4
+        for b0, b4 in zip(batches[0], batches[4]):
+            for k in b0:
+                np.testing.assert_array_equal(b0[k], b4[k])
+
+    def test_epochs_differ_and_are_reproducible(self):
+        it1 = dbuild.BatchIterator(self._dataset(), 4, seed=7, num_workers=2)
+        e0, e1 = list(it1), list(it1)  # two epochs
+        changed = any(
+            not np.array_equal(a["coords"], b["coords"])
+            for a, b in zip(e0, e1)
+        )
+        assert changed, "epoch 2 identical to epoch 1 (rng not advancing)"
+        it2 = dbuild.BatchIterator(self._dataset(), 4, seed=7, num_workers=2)
+        for a, b in zip(e0, list(it2)):
+            np.testing.assert_array_equal(a["coords"], b["coords"])
+
+    def test_prefetch_overlaps_slow_transforms(self):
+        """With a deliberately slow transform, the threaded loader's wall
+        time must be well under the serial sum (the VERDICT 'Done'
+        criterion: loader work overlaps)."""
+        import time as _time
+
+        slow_s = 0.02
+        n = 16
+        t0 = _time.perf_counter()
+        list(dbuild.BatchIterator(self._dataset(n, slow_s), 4, seed=0,
+                                  num_workers=8, prefetch=2))
+        threaded = _time.perf_counter() - t0
+        serial_floor = n * slow_s
+        assert threaded < serial_floor * 0.75, (
+            f"threaded epoch {threaded:.3f}s vs serial floor "
+            f"{serial_floor:.3f}s — no overlap"
+        )
+
+
 class TestTransforms:
     def test_normalize_points_unit_sphere(self, rng):
         ex = T.NormalizePoints()(make_example(rng))
