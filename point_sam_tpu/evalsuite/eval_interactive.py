@@ -59,12 +59,35 @@ class InteractiveEvaluator:
 
     def __init__(self, model, variables, *, num_clicks: int = 5,
                  point_buckets=(8192, 32768, 131072, 262144),
-                 masks_per_batch: int = 4):
+                 masks_per_batch: int = 4, knn_method: str = "auto",
+                 gk_policy: str = "bucket_pow2", mesh=None):
+        """Args beyond the obvious:
+
+        knn_method: "auto" (TPU approx_min_k for big clouds — default) or
+            "exact" — the A/B switch for measuring the approximation's mIoU
+            cost (see evalsuite/ab_approx.py; defaults justified there).
+        gk_policy: tokenizer reconfiguration rule.
+            - "bucket_pow2" (default): G rounded to the next power of two
+              and K scaled down for tiny scenes — every scene in an N-bucket
+              shares ONE compiled executable (the TPU-first policy).
+            - "reference": the reference's exact per-scene rule
+              (eval_kitti.py:350-362): N>30000 -> G=2048/K=256, else
+              G=min(N, 2048), K=256 (K=2 when N<256). Faithful, but each
+              distinct N compiles its own executable.
+        mesh: optional multi-device jax.sharding.Mesh; scenes larger than
+            ``point_buckets[-1]`` then run their kNN with the point axis
+            sharded over the mesh (parallel.sharded_geometry) instead of
+            single-device.
+        """
+        assert gk_policy in ("bucket_pow2", "reference"), gk_policy
         self.model = model
         self.variables = variables
         self.num_clicks = num_clicks
         self.point_buckets = tuple(point_buckets)
         self.masks_per_batch = masks_per_batch
+        self.knn_method = knn_method
+        self.gk_policy = gk_policy
+        self.mesh = mesh
         self._fns = {}
 
     def _bucket(self, n):
@@ -80,16 +103,58 @@ class InteractiveEvaluator:
         if tok is None or isinstance(tok.num_patches, (tuple, list)):
             # voronoi (no flat tokenizer) / hier (two-level): model default.
             return None
+        kw = dict(radius=tok.radius,
+                  centralize_features=tok.centralize_features,
+                  knn_method=self.knn_method)
+        if self.gk_policy == "reference":
+            # eval_kitti.py:350-362 verbatim: per-scene G, fixed K=256.
+            if n > 30000:
+                return TokenizerConfig(2048, 256, **kw)
+            return TokenizerConfig(min(n, 2048), 2 if n < 256 else 256, **kw)
         if n > 30000:
-            return TokenizerConfig(2048, 256, radius=tok.radius,
-                                   centralize_features=tok.centralize_features)
+            return TokenizerConfig(2048, 256, **kw)
         g = 64
         while g < min(2048, n):
             g *= 2
         k = min(tok.patch_size, max(2, n // 4))
-        return TokenizerConfig(min(g, tok.num_patches * 2), k,
-                               radius=tok.radius,
-                               centralize_features=tok.centralize_features)
+        return TokenizerConfig(min(g, tok.num_patches * 2), k, **kw)
+
+    def _sharded_geometry(self, tok):
+        """Tokenizer geometry with the cloud's point axis sharded over the
+        mesh: the G x K neighbor search (the O(G*N) stage) runs per-shard
+        with one small all-gather merge (parallel.sharded_geometry). FPS
+        stays replicated (globally sequential); 3-NN interp keys are the G
+        centers (small, replicated)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import batch_index_select, compute_interp_weights, fps
+        from ..parallel.sharded_geometry import sharded_knn
+
+        mesh = self.mesh
+
+        def geometry(coords, point_valid):
+            coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
+            fps_idx = fps(coords, tok.num_patches, valid=point_valid)
+            centers = batch_index_select(coords, fps_idx, axis=1)
+            _, knn_idx = sharded_knn(
+                centers, coords, tok.patch_size, mesh,
+                method=tok.knn_method, key_valid=point_valid,
+            )
+            idx, w = compute_interp_weights(coords, centers)
+            return dict(fps_idx=fps_idx, centers=centers, knn_idx=knn_idx,
+                        interp_index=idx, interp_weight=w)
+
+        return geometry
+
+    def _use_sharded(self, n_pad, tok):
+        return (
+            self.mesh is not None
+            and self.mesh.size > 1
+            and tok is not None
+            and n_pad >= self.point_buckets[-1]
+            and type(self.model).__name__ == "PointCloudSAM"
+        )
 
     def _build_fn(self, n_pad, tok, m):
         import jax
@@ -100,11 +165,18 @@ class InteractiveEvaluator:
 
         model = self.model
         clicks = self.num_clicks
+        geometry_fn = (
+            self._sharded_geometry(tok) if self._use_sharded(n_pad, tok)
+            else None
+        )
 
         @jax.jit
         def run(variables, coords, feats, valid, gt_masks):
-            geom = model.make_geometry(coords, point_valid=valid,
-                                       tokenizer=tok)
+            if geometry_fn is not None:
+                geom = geometry_fn(coords, valid)
+            else:
+                geom = model.make_geometry(coords, point_valid=valid,
+                                           tokenizer=tok)
             emb, pc_pe, *extras = model.apply(
                 variables, coords, feats, geom, method=model.encode
             )

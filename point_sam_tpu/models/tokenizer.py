@@ -25,12 +25,18 @@ from ..ops import batch_index_select, compute_interp_weights, fps, knn, nn1
 
 @dataclasses.dataclass(frozen=True)
 class TokenizerConfig:
-    """Grouping hyperparameters (reference configs/model/*.yaml:6-9)."""
+    """Grouping hyperparameters (reference configs/model/*.yaml:6-9).
+
+    ``knn_method``: neighbor-search dispatch for the G x K tokenizer search
+    ("auto" picks the TPU-optimized ``approx_min_k`` path for large clouds;
+    "exact" forces the exact blocked scan — the A/B switch the evaluator
+    exposes to measure what the approximation costs in mIoU)."""
 
     num_patches: int = 512
     patch_size: int = 64
     radius: float | None = None
     centralize_features: bool = False
+    knn_method: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,7 +65,8 @@ def compute_geometry(
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
     fps_idx = fps(coords, cfg.num_patches, valid=point_valid)
     centers = batch_index_select(coords, fps_idx, axis=1)
-    _, knn_idx = knn(centers, coords, cfg.patch_size, key_valid=point_valid)
+    _, knn_idx = knn(centers, coords, cfg.patch_size, key_valid=point_valid,
+                     method=cfg.knn_method)
     out = dict(fps_idx=fps_idx, centers=centers, knn_idx=knn_idx)
     if with_interp:
         idx, w = compute_interp_weights(coords, centers)

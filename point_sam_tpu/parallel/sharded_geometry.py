@@ -32,6 +32,7 @@ def sharded_knn(
     *,
     axis: str = "data",
     method: str = "auto",
+    key_valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """kNN with the key cloud sharded over a mesh axis.
 
@@ -40,6 +41,8 @@ def sharded_knn(
         key_sharded: [B, Nk, 3] with Nk sharded over ``axis`` (Nk divisible
             by the axis size).
         k: neighbors per query.
+        key_valid: optional [B, Nk] bool, sharded like the keys; padded
+            keys never win (the bucketed evaluator's padding contract).
 
     Returns: (sq_dists [B, Nq, k], global indices [B, Nq, k]) — identical
     (up to distance ties) to the single-device ops.knn result.
@@ -51,15 +54,16 @@ def sharded_knn(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(None, axis, None)),
+        in_specs=(P(), P(None, axis, None), P(None, axis)),
         out_specs=(P(), P()),
         # Replication of the merged result across the axis holds by
         # construction (identical all-gathered operands on every device) but
         # cannot be statically inferred.
         check_vma=False,
     )
-    def f(q, key_local):
-        d_loc, i_loc = ops.knn(q, key_local, k, method=method)
+    def f(q, key_local, valid_local):
+        d_loc, i_loc = ops.knn(q, key_local, k, method=method,
+                               key_valid=valid_local)
         i_glob = i_loc + (jax.lax.axis_index(axis) * shard).astype(i_loc.dtype)
         # Gather every shard's k candidates and merge: one small collective
         # ([B, Nq, k * n_dev]) rides ICI; the merge is a local top-k.
@@ -68,7 +72,9 @@ def sharded_knn(
         neg_d, sel = jax.lax.top_k(-d_all, k)
         return -neg_d, jnp.take_along_axis(i_all, sel, axis=-1)
 
-    return f(query, key_sharded)
+    if key_valid is None:
+        key_valid = jnp.ones(key_sharded.shape[:2], bool)
+    return f(query, key_sharded, key_valid)
 
 
 def sharded_min_sq_dist_to_complement(

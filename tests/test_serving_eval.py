@@ -164,3 +164,40 @@ class TestHTTPServer:
                 assert "no point cloud" in json.loads(e.read())["error"]
         finally:
             httpd.shutdown()
+
+
+class TestEvalABFlags:
+    """A/B switches for measuring approximation cost (VERDICT r1 #7)."""
+
+    def test_reference_gk_policy(self, rng, tiny_model):
+        from point_sam_tpu.evalsuite.eval_interactive import (
+            InteractiveEvaluator)
+
+        model, variables = tiny_model
+        ev = InteractiveEvaluator(
+            model, variables, num_clicks=2, point_buckets=(4096,),
+            masks_per_batch=2, gk_policy="reference")
+        # eval_kitti.py:350-362: G=min(N,2048), K=256 (K=2 when N<256).
+        tok = ev._tokenizer_for(1500)
+        assert (tok.num_patches, tok.patch_size) == (1500, 256)
+        tok = ev._tokenizer_for(100)
+        assert (tok.num_patches, tok.patch_size) == (100, 2)
+        tok = ev._tokenizer_for(50_000)
+        assert (tok.num_patches, tok.patch_size) == (2048, 256)
+
+    def test_exact_vs_auto_knn_same_result_on_small(self, rng, tiny_model):
+        """On CPU/small clouds auto == exact (approx only kicks in on TPU at
+        large N), so the A/B harness's two arms must agree exactly here."""
+        from point_sam_tpu.evalsuite.eval_interactive import (
+            InteractiveEvaluator)
+
+        model, variables = tiny_model
+        xyz, rgb, gt = synth_scene(rng, n=1200)
+        gt = gt[:2]
+        out = {}
+        for method in ("auto", "exact"):
+            ev = InteractiveEvaluator(
+                model, variables, num_clicks=2, point_buckets=(2048,),
+                masks_per_batch=2, knn_method=method)
+            out[method] = ev.evaluate_scene(xyz, rgb, gt)
+        np.testing.assert_allclose(out["auto"], out["exact"], atol=1e-6)

@@ -45,3 +45,53 @@ class TestShardedBorderDistance:
             c_sh, r_sh, coords, regions, mesh
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+class TestShardedKNNValid:
+    def test_key_valid_excludes_padding(self, rng):
+        mesh = make_mesh()
+        B, Nq, Nk, k = 1, 32, 1024, 4
+        q = jnp.asarray(rng.standard_normal((B, Nq, 3)).astype(np.float32))
+        keys = np.zeros((B, Nk, 3), np.float32)  # padding at the origin...
+        keys[:, :512] = rng.standard_normal((B, 512, 3))
+        valid = np.zeros((B, Nk), bool)
+        valid[:, :512] = True
+        d_sh, i_sh = sharded_knn(
+            jnp.asarray(q), jnp.asarray(keys), k, mesh, method="exact",
+            key_valid=jnp.asarray(valid),
+        )
+        assert (np.asarray(i_sh) < 512).all(), "padded key selected"
+        d_ref, i_ref = ops.knn(q, jnp.asarray(keys), k, method="exact",
+                               key_valid=jnp.asarray(valid))
+        np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                                   atol=1e-5)
+
+
+class TestShardedEvaluator:
+    def test_big_bucket_uses_sharded_geometry_and_matches(self, rng):
+        """The evaluator's top bucket runs point-axis-sharded kNN; IoUs
+        must match the single-device evaluator (exact kNN both sides)."""
+        from point_sam_tpu.datasets.synthetic import generate_scene
+        from point_sam_tpu.evalsuite.eval_interactive import (
+            InteractiveEvaluator, normalize_scene)
+        from point_sam_tpu.models import (PointCloudSAM, PointSAMConfig,
+                                          TokenizerConfig, init_variables)
+
+        cfg = PointSAMConfig(
+            vit="tiny", tokenizer=TokenizerConfig(num_patches=32, patch_size=8),
+            prompt_iters=2)
+        model = PointCloudSAM(cfg)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        ex = generate_scene(5, num_points=1500)
+        xyz, rgb = normalize_scene(ex["coords"], ex["features"])
+        gt = ex["gt_masks"][:2]
+
+        mesh = make_mesh()
+        kw = dict(num_clicks=2, point_buckets=(2048,), masks_per_batch=2,
+                  knn_method="exact")
+        ev_sh = InteractiveEvaluator(model, variables, mesh=mesh, **kw)
+        ev_1d = InteractiveEvaluator(model, variables, **kw)
+        assert ev_sh._use_sharded(2048, ev_sh._tokenizer_for(len(xyz)))
+        ious_sh = ev_sh.evaluate_scene(xyz, rgb, gt)
+        ious_1d = ev_1d.evaluate_scene(xyz, rgb, gt)
+        np.testing.assert_allclose(ious_sh, ious_1d, atol=2e-2)
