@@ -5,6 +5,9 @@
 
 import * as THREE from "three";
 import { OrbitControls } from "three/addons/controls/OrbitControls.js";
+import { GLTFLoader } from "three/addons/loaders/GLTFLoader.js";
+import { OBJLoader } from "three/addons/loaders/OBJLoader.js";
+import { sampleObject } from "./mesh_sample.js";
 
 const scene = new THREE.Scene();
 const camera = new THREE.PerspectiveCamera(
@@ -111,6 +114,59 @@ renderer.domElement.addEventListener("pointerdown", async (ev) => {
     status(`mask: ${mask.filter(Boolean).length} points`);
     repaint();
   } catch (e) { status(String(e)); }
+});
+
+// ---- Mesh files: load GLTF/GLB/OBJ locally, sample points in-browser, and
+// feed them to the encoder via POST /sampled_pointcloud (the route the
+// reference demo serves for browser-sampled meshes, demo/app.py:91-107).
+async function loadMeshFile(file) {
+  const url = URL.createObjectURL(file);
+  const ext = file.name.split(".").pop().toLowerCase();
+  try {
+    let root;
+    if (ext === "gltf" || ext === "glb") {
+      const gltf = await new GLTFLoader().loadAsync(url);
+      root = gltf.scene;
+    } else if (ext === "obj") {
+      root = await new OBJLoader().loadAsync(url);
+    } else {
+      status(`unsupported mesh format .${ext} (use gltf/glb/obj)`);
+      return;
+    }
+    const count = parseInt(document.getElementById("nsamples").value) || 30000;
+    status(`sampling ${count} surface points...`);
+    const { positions, colors } = sampleObject(root, count);
+    // Normalize into the unit sphere (the model's input frame).
+    const n = positions.length / 3;
+    const mean = [0, 0, 0];
+    for (let i = 0; i < n; i++)
+      for (let d = 0; d < 3; d++) mean[d] += positions[3 * i + d] / n;
+    let scale = 0;
+    for (let i = 0; i < n; i++) {
+      let s = 0;
+      for (let d = 0; d < 3; d++) {
+        positions[3 * i + d] -= mean[d];
+        s += positions[3 * i + d] ** 2;
+      }
+      scale = Math.max(scale, Math.sqrt(s));
+    }
+    for (let i = 0; i < 3 * n; i++) positions[i] /= scale || 1;
+    status("encoding (server-side)...");
+    await post("/sampled_pointcloud", {
+      points: Object.fromEntries(positions.entries()),
+      colors: Object.fromEntries(colors.entries()),
+    });
+    setCloud(Array.from(positions), Array.from(colors));
+    status(`${n} points sampled from ${file.name}`);
+  } catch (e) {
+    status(String(e));
+  } finally {
+    URL.revokeObjectURL(url);
+  }
+}
+
+document.getElementById("meshfile").addEventListener("change", (ev) => {
+  if (ev.target.files.length) loadMeshFile(ev.target.files[0]);
 });
 
 document.getElementById("load").onclick = loadCloud;

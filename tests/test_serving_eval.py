@@ -140,6 +140,37 @@ class TestHTTPServer:
         # 4) clear works
         assert self._post(url, "/clear", {})["status"] == "cleared"
 
+    def test_browser_sampled_mesh_workflow(self, server, rng):
+        """The mesh path: the frontend (static/mesh_sample.js + annotate.js)
+        samples a mesh in-browser, normalizes to the unit sphere, and POSTs
+        index-keyed point/color objects to /sampled_pointcloud — this
+        exercises the exact JSON contract it produces, then clicks."""
+        url, session = server
+        n = 1000
+        xyz = rng.standard_normal((n, 3)).astype(np.float32)
+        xyz -= xyz.mean(0)
+        xyz /= np.linalg.norm(xyz, axis=1).max()
+        rgb = rng.random((n, 3)).astype(np.float32)
+        payload = {
+            "points": {str(i): float(v) for i, v in enumerate(xyz.reshape(-1))},
+            "colors": {str(i): float(v) for i, v in enumerate(rgb.reshape(-1))},
+        }
+        out = self._post(url, "/sampled_pointcloud", payload)
+        assert out["response"] == "success"
+        seg = self._post(url, "/segment",
+                         {"prompt_point": xyz[0].tolist(), "prompt_label": 1})
+        assert len(seg["seg"]) == n
+        # static assets for the mesh path are served
+        for asset in ("/mesh_sample.js", "/annotate.js", "/"):
+            req = urllib.request.Request(url + asset)
+            with urllib.request.urlopen(req) as r:
+                body = r.read().decode()
+            assert r.status == 200
+            if asset == "/mesh_sample.js":
+                assert "sampleObject" in body
+            if asset == "/":
+                assert "meshfile" in body
+
     def test_segment_without_cloud_is_clean_error(self, tiny_model, tmp_path):
         model, variables = tiny_model
         from point_sam_tpu.serving.server import build_server
