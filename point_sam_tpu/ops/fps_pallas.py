@@ -7,30 +7,29 @@ round-trip costs ~2048 times. This kernel runs the WHOLE loop on-core with
 the point cloud and the running min-distance field resident in VMEM
 (100k points fp32 = 1.2 MB coordinates + 0.4 MB distances per batch row).
 
-Performance shape (v2 — replaces the round-1 row-serial kernel): the loop is
-latency-bound, not FLOP-bound — each step's critical path is a handful of
-full-array reductions. Three design rules follow:
+Performance shape (v3): the loop is latency-bound — each step's critical
+path is a handful of full-array VPU passes over [8, N/8], so the design
+minimizes FULL-WIDTH passes per step:
 
-1. **Everything stays on the vector unit.** The selected center's
-   coordinates are extracted with one-hot multiply-reduce passes producing
-   ``[1, 1]`` vector values that broadcast straight back into the distance
-   update; the only vector->scalar transition per step is the index write
-   into the SMEM output (scalar stores are only legal in SMEM).
-2. **Direct full-width argmax.** The running field is reduced with one
-   full-shape ``max`` and one ``where(m == best, index, BIG) -> min`` pass —
-   both run the VPU at full 8x128 width, unlike the round-1 kernel's
-   two-level column-max hierarchy whose [1, N/8] stages used 1/8 of the VPU
-   and whose drill-down serialized three scalar round-trips.
+1. **Center extraction is O(128), not O(N).** The selected point's
+   coordinates are read with one 128-lane-aligned dynamic block load plus a
+   [8, 128] one-hot multiply-reduce — three tile-sized sums instead of the
+   v2 kernel's three full-width one-hot passes (which were ~60% of the
+   step's traversed bytes at N=100k).
+2. **Two full-width passes per step.** (a) distance update fused with the
+   per-row running max; (b) the tie-break pass ``where(m == gmax, col,
+   BIG) -> per-row min``. Everything after is [8, 1]-shaped: the global
+   winner is resolved with tiny cross-row reductions.
 3. **Batch rows share one grid program, stage-interleaved.** Independent
    rows' reduction trees overlap in the in-order pipeline because the body
-   loops over rows *per stage* (all updates, then all argmaxes), so B>1
-   amortizes the per-step latency instead of multiplying it (the round-1
-   kernel's grid=(B,) ran rows strictly serially).
+   loops over rows *per stage*, so B>1 amortizes per-step latency instead
+   of multiplying it.
 
-Layout: lanes-major — point n lives at (row = n % 8, col = n // 8) — so the
-min-over-``col*8+row`` tie-break is identical to ops.fps_xla's
-smallest-index rule, keeping the kernel bit-exact against the XLA reference
-(same fp32 distance arithmetic, same selection rule).
+Layout: row-major — point n lives at (row = n // n8, col = n % n8) — so
+"smallest n" decomposes as (smallest row attaining the global max, smallest
+col within that row), which is exactly what the per-row min-col + cross-row
+min composition computes. Selection is therefore bit-exact vs ops.fps_xla
+(same fp32 distance arithmetic, same smallest-index tie-break).
 
 Padding: the caller passes an init-distance array that is +inf for valid
 points and -inf for padding — padded cells can never win the argmax and
@@ -63,21 +62,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fps_kernel(first_ref, xyz_ref, mind0_ref, out_ref, mind_ref, iota_ref,
+def _fps_kernel(first_ref, xyz_ref, mind0_ref, out_ref, mind_ref, col_ref,
                 *, num_samples: int, n8: int, rows: int):
     """One grid program = ``rows`` batch rows, stage-interleaved.
 
     Refs: first [B] int32 (SMEM, scalar-prefetch), xyz [rows, 24, n8] f32
-    (VMEM; sublanes 0-7 = x, 8-15 = y, 16-23 = z of 8 consecutive points'
-    lanes-major cells), mind0 [rows, 8, n8] f32, out [B, G] int32 (SMEM,
-    full array — rows index it globally), scratch: mind [rows, 8, n8] f32,
-    iota [8, n8] int32 (point index n = col * 8 + row, shared by all rows).
+    (VMEM; sublanes 0-7 = x, 8-15 = y, 16-23 = z at (n // n8, n % n8)),
+    mind0 [rows, 8, n8] f32, out [B, G] int32 (SMEM, full array — rows
+    index it globally), scratch: mind [rows, 8, n8] f32, col [8, n8] int32
+    (col index per cell, shared by all rows).
     """
     base = pl.program_id(0) * rows
     mind_ref[:] = mind0_ref[:]
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 1)
-    iota_ref[:] = col * _SUBLANES + row8
+    col_ref[:] = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, 1), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
 
     firsts = []
     for b in range(rows):
@@ -86,34 +86,47 @@ def _fps_kernel(first_ref, xyz_ref, mind0_ref, out_ref, mind_ref, iota_ref,
         firsts.append(f)
 
     def body(g, sels):
-        iota = iota_ref[:]
-        # Stage 1 — extract each row's current center as [1,1] vector values
-        # (one-hot FMA; no scalar unit on this path).
+        # Stage 1 — extract each row's current center from one 128-aligned
+        # block: [24, 128] load + [8, 128] one-hot reduce (O(128) work).
         centers = []
         for b in range(rows):
-            ohf = (iota == sels[b]).astype(jnp.float32)
+            sel = sels[b]
+            r = sel // n8
+            c = sel - r * n8
+            c0 = pl.multiple_of((c // _LANES) * _LANES, _LANES)
+            blk = xyz_ref[b, :, pl.ds(c0, _LANES)]  # [24, 128]
+            oh = ((row128 == r) & (lane128 == c - c0)).astype(jnp.float32)
+            cx = jnp.sum(blk[0:_SUBLANES] * oh, axis=(0, 1), keepdims=True)
+            cy = jnp.sum(
+                blk[_SUBLANES : 2 * _SUBLANES] * oh, axis=(0, 1), keepdims=True
+            )
+            cz = jnp.sum(
+                blk[2 * _SUBLANES : 3 * _SUBLANES] * oh,
+                axis=(0, 1),
+                keepdims=True,
+            )
+            centers.append((cx, cy, cz))
+        # Stage 2 — full-width distance update + per-row running max.
+        maxes = []
+        for b in range(rows):
+            cx, cy, cz = centers[b]
             x = xyz_ref[b, 0:_SUBLANES]
             y = xyz_ref[b, _SUBLANES : 2 * _SUBLANES]
             z = xyz_ref[b, 2 * _SUBLANES : 3 * _SUBLANES]
-            cx = jnp.sum(x * ohf, axis=(0, 1), keepdims=True)
-            cy = jnp.sum(y * ohf, axis=(0, 1), keepdims=True)
-            cz = jnp.sum(z * ohf, axis=(0, 1), keepdims=True)
-            centers.append((x, y, z, cx, cy, cz))
-        # Stage 2 — distance update + running-max (full 8x128-width passes).
-        bests = []
-        for b in range(rows):
-            x, y, z, cx, cy, cz = centers[b]
             d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
             m = jnp.minimum(mind_ref[b], d)
             mind_ref[b] = m
-            bests.append(jnp.max(m, axis=(0, 1), keepdims=True))
-        # Stage 3 — smallest index attaining the max; the jnp.min reduction
-        # to a scalar is the step's single vector->scalar transition (needed
-        # for the SMEM store and the next iteration's carried compare).
+            maxes.append(jnp.max(m, axis=(0, 1), keepdims=True))
+        # Stage 3 — tie-break pass: smallest col per row among cells at the
+        # global max, then smallest n = r * n8 + col across rows ([8, 1]
+        # reductions; the jnp.min to a scalar is the step's single
+        # vector->scalar transition, needed for the SMEM store).
         new_sels = []
         for b in range(rows):
-            t = jnp.where(mind_ref[b] == bests[b], iota, _BIG)
-            sel = jnp.min(t)
+            t = jnp.where(mind_ref[b] == maxes[b], col_ref[:], _BIG)
+            rcol = jnp.min(t, axis=1, keepdims=True)  # [8, 1]
+            n_row = jnp.where(rcol < _BIG, row8 * n8 + rcol, _BIG)
+            sel = jnp.min(n_row)
             out_ref[base + b, g] = sel
             new_sels.append(sel)
         return tuple(new_sels)
@@ -149,8 +162,8 @@ def fps_pallas(
     rows = max(1, min(B, _VMEM_BUDGET_BYTES // (_PER_ROW_F32 * n8 * 4)))
     b_pad = _round_up(B, rows)
 
-    def to_cells(arr):  # [B, n_pad] -> [B, 8, n8], point n at (n % 8, n // 8)
-        return arr.reshape(arr.shape[0], n8, _SUBLANES).swapaxes(1, 2)
+    def to_cells(arr):  # [B, n_pad] -> [B, 8, n8], point n at (n // n8, n % n8)
+        return arr.reshape(arr.shape[0], _SUBLANES, n8)
 
     xyz = jnp.pad(points, ((0, b_pad - B), (0, n_pad - N), (0, 0)))
     xyz = jnp.concatenate(
