@@ -1,0 +1,210 @@
+"""A/B harness: what do the TPU-first approximations cost on the end metric?
+
+The evaluator deviates from the reference's exact per-scene policies in
+three flag-gated ways (each defensible for bucketed one-executable-per-
+bucket compilation, reference eval_kitti.py:350-362):
+
+  1. tokenizer kNN uses ``lax.approx_min_k`` (recall_target 0.95) for big
+     clouds instead of exact top-k          (ops/knn.py, knn_method="auto")
+  2. per-bucket pow2 G/K instead of the reference's per-scene
+     ``G=min(N,2048), K=256, K=2 if N<256``  (gk_policy="bucket_pow2")
+  3. optional approximate FPS over a strided candidate subset
+     (ops/fps.py ``candidates``; default OFF)
+
+This script measures, on a deterministic synthetic-scene corpus
+(datasets/synthetic.py):
+
+  A. model-free geometry surrogates — kNN neighbor recall, FPS coverage
+     radius ratio (max-min-distance of approx centers / exact centers);
+  B. the end metric — mean IoU per click via InteractiveEvaluator, one run
+     per (variant) with everything else held fixed, against a model that
+     was actually trained (briefly) so mask quality responds to geometry.
+
+Run:  python -m point_sam_tpu.evalsuite.ab_approx \
+          [--scenes 8] [--points 32768] [--clicks 3] \
+          [--ckpt <orbax dir or safetensors>] [--config tiny]
+      With no --ckpt it first trains the tiny config for --train-steps on
+      the synthetic dataset (train.trainer), then evaluates that.
+
+Output: one JSON report (also markdown-tabled) — paste into PARITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+
+def geometry_surrogates(scenes, *, num_patches, patch_size, candidates,
+                        recall_target=0.95):
+    """Model-free deltas: kNN recall + FPS coverage ratio per scene."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import batch_index_select, fps, knn
+
+    out = {"knn_recall": [], "fps_coverage_ratio": []}
+    for xyz in scenes:
+        c = jnp.asarray(xyz[None])
+        idx_exact = fps(c, num_patches)
+        idx_apx = fps(c, num_patches, candidates=candidates)
+        cent_exact = batch_index_select(c, idx_exact, axis=1)
+        cent_apx = batch_index_select(c, idx_apx, axis=1)
+
+        def cover_radius(centers):
+            d2, _ = knn(c, centers, 1, method="exact")
+            return float(jnp.sqrt(jnp.max(d2)))
+
+        out["fps_coverage_ratio"].append(
+            cover_radius(cent_apx) / max(cover_radius(cent_exact), 1e-12)
+        )
+
+        _, nn_exact = knn(cent_exact, c, patch_size, method="exact")
+        _, nn_apx = knn(cent_exact, c, patch_size, method="approx",
+                        recall_target=recall_target)
+        a = np.asarray(nn_exact[0])
+        b = np.asarray(nn_apx[0])
+        rec = np.mean([
+            len(np.intersect1d(a[g], b[g], assume_unique=False)) / a.shape[-1]
+            for g in range(a.shape[0])
+        ])
+        out["knn_recall"].append(float(rec))
+    return {k: float(np.mean(v)) for k, v in out.items()}
+
+
+def make_scenes(num_scenes, num_points, seed=100):
+    from ..datasets.synthetic import generate_scene
+    from .eval_interactive import filter_masks, normalize_scene
+
+    scenes = []
+    for i in range(num_scenes):
+        ex = generate_scene(seed + i, num_points=num_points)
+        xyz, rgb = normalize_scene(ex["coords"], ex["features"])
+        gt = ex["gt_masks"][filter_masks(ex["gt_masks"])]
+        if len(gt):
+            scenes.append((xyz, rgb, gt))
+    return scenes
+
+
+def miou_run(model, variables, scenes, *, clicks, **evaluator_kw):
+    from .eval_interactive import InteractiveEvaluator
+
+    ev = InteractiveEvaluator(model, variables, num_clicks=clicks,
+                              masks_per_batch=2, **evaluator_kw)
+    per_click = [[] for _ in range(clicks)]
+    for xyz, rgb, gt in scenes:
+        ious = ev.evaluate_scene(xyz, rgb, gt)
+        for k in range(clicks):
+            per_click[k].extend(ious[:, k].tolist())
+    return [float(np.mean(v)) for v in per_click]
+
+
+def get_model_and_weights(args):
+    import jax
+
+    from ..models import init_variables
+    from ..utils.config import build_model, load_config
+
+    cfg = load_config(args.config, [])
+    model = build_model(cfg.model)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    if args.ckpt:
+        from ..utils.checkpoint import load_variables
+
+        return model, load_variables(args.ckpt, variables)
+
+    # No checkpoint: briefly train the config on the synthetic set so the
+    # end metric responds to geometry (random weights would just be noise).
+    from ..train import trainer
+
+    with tempfile.TemporaryDirectory() as td:
+        trainer.main([
+            "--config", args.config,
+            f"max_steps={args.train_steps}",
+            "val_freq=1000000",
+            f"project_dir={td}/run",
+            "log_with=null",
+        ])
+        from ..utils.checkpoint import load_variables
+
+        variables = load_variables(str(Path(td, "run", "checkpoints")),
+                                    variables)
+    return model, variables
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="tiny")
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--scenes", type=int, default=8)
+    parser.add_argument("--points", type=int, default=32768)
+    parser.add_argument("--clicks", type=int, default=3)
+    parser.add_argument("--train-steps", type=int, default=80)
+    parser.add_argument("--fps-candidates", type=int, default=16384)
+    parser.add_argument("--geom-patches", type=int, default=2048,
+                        help="G for the model-free surrogates")
+    parser.add_argument("--geom-patch-size", type=int, default=256)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}  (approx_min_k is exact on "
+          "CPU — run on TPU for the real recall numbers)")
+
+    scenes = make_scenes(args.scenes, args.points)
+    print(f"{len(scenes)} scenes x {args.points} points")
+
+    # ---- A. model-free surrogates at the big-scene tokenizer config
+    fps_cand = min(args.fps_candidates, args.points)
+    surro = geometry_surrogates(
+        [s[0] for s in scenes],
+        num_patches=min(args.geom_patches, args.points // 4),
+        patch_size=args.geom_patch_size,
+        candidates=fps_cand,
+    )
+
+    # ---- B. end-metric mIoU per click, one variant at a time
+    model, variables = get_model_and_weights(args)
+    variants = {
+        "base (knn auto, gk bucket_pow2, fps exact)": {},
+        "knn exact": dict(knn_method="exact"),
+        "gk reference": dict(gk_policy="reference"),
+        f"fps candidates={fps_cand}": dict(fps_candidates=fps_cand),
+    }
+    miou = {
+        name: miou_run(model, variables, scenes, clicks=args.clicks, **kw)
+        for name, kw in variants.items()
+    }
+
+    report = {
+        "backend": jax.default_backend(),
+        "corpus": {"scenes": len(scenes), "points": args.points,
+                   "clicks": args.clicks,
+                   "model": args.ckpt or f"{args.config} trained "
+                   f"{args.train_steps} synthetic steps"},
+        "geometry_surrogates": surro,
+        "miou_per_click": miou,
+        "delta_vs_base": {
+            name: [round(v - b, 4) for v, b in
+                   zip(vals, miou["base (knn auto, gk bucket_pow2, "
+                                  "fps exact)"])]
+            for name, vals in miou.items()
+        },
+    }
+    print(json.dumps(report, indent=2))
+
+    # markdown table for PARITY.md
+    print("\n| variant | " + " | ".join(
+        f"mIoU@{k+1}" for k in range(args.clicks)) + " |")
+    print("|---|" + "---|" * args.clicks)
+    for name, vals in miou.items():
+        print(f"| {name} | " + " | ".join(f"{v:.4f}" for v in vals) + " |")
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -60,12 +60,17 @@ class InteractiveEvaluator:
     def __init__(self, model, variables, *, num_clicks: int = 5,
                  point_buckets=(8192, 32768, 131072, 262144),
                  masks_per_batch: int = 4, knn_method: str = "auto",
-                 gk_policy: str = "bucket_pow2", mesh=None):
+                 gk_policy: str = "bucket_pow2", mesh=None,
+                 fps_candidates: int | None = None):
         """Args beyond the obvious:
 
         knn_method: "auto" (TPU approx_min_k for big clouds — default) or
             "exact" — the A/B switch for measuring the approximation's mIoU
             cost (see evalsuite/ab_approx.py; defaults justified there).
+        fps_candidates: optional approximate-FPS switch (ops.fps
+            ``candidates``): centers are sampled from a strided subset of
+            this many points. None = exact FPS (reference parity); the
+            A/B lives in evalsuite/ab_approx.py.
         gk_policy: tokenizer reconfiguration rule.
             - "bucket_pow2" (default): G rounded to the next power of two
               and K scaled down for tiny scenes — every scene in an N-bucket
@@ -88,6 +93,7 @@ class InteractiveEvaluator:
         self.knn_method = knn_method
         self.gk_policy = gk_policy
         self.mesh = mesh
+        self.fps_candidates = fps_candidates
         self._fns = {}
 
     def _bucket(self, n):
@@ -105,7 +111,8 @@ class InteractiveEvaluator:
             return None
         kw = dict(radius=tok.radius,
                   centralize_features=tok.centralize_features,
-                  knn_method=self.knn_method)
+                  knn_method=self.knn_method,
+                  fps_candidates=self.fps_candidates)
         if self.gk_policy == "reference":
             # eval_kitti.py:350-362 verbatim: per-scene G, fixed K=256.
             if n > 30000:
@@ -135,7 +142,8 @@ class InteractiveEvaluator:
 
         def geometry(coords, point_valid):
             coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
-            fps_idx = fps(coords, tok.num_patches, valid=point_valid)
+            fps_idx = fps(coords, tok.num_patches, valid=point_valid,
+                          candidates=tok.fps_candidates)
             centers = batch_index_select(coords, fps_idx, axis=1)
             _, knn_idx = sharded_knn(
                 centers, coords, tok.patch_size, mesh,

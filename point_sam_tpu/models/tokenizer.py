@@ -30,13 +30,19 @@ class TokenizerConfig:
     ``knn_method``: neighbor-search dispatch for the G x K tokenizer search
     ("auto" picks the TPU-optimized ``approx_min_k`` path for large clouds;
     "exact" forces the exact blocked scan — the A/B switch the evaluator
-    exposes to measure what the approximation costs in mIoU)."""
+    exposes to measure what the approximation costs in mIoU).
+
+    ``fps_candidates``: optional approximate FPS — sample centers from a
+    strided ``fps_candidates``-point subset instead of the full cloud
+    (ops.fps). None = exact (reference parity). The evaluator exposes the
+    matching A/B switch."""
 
     num_patches: int = 512
     patch_size: int = 64
     radius: float | None = None
     centralize_features: bool = False
     knn_method: str = "auto"
+    fps_candidates: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,7 +69,8 @@ def compute_geometry(
                  interp_index [B,N,3], interp_weight [B,N,3]).
     """
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
-    fps_idx = fps(coords, cfg.num_patches, valid=point_valid)
+    fps_idx = fps(coords, cfg.num_patches, valid=point_valid,
+                  candidates=cfg.fps_candidates)
     centers = batch_index_select(coords, fps_idx, axis=1)
     _, knn_idx = knn(centers, coords, cfg.patch_size, key_valid=point_valid,
                      method=cfg.knn_method)

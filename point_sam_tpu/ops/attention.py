@@ -50,7 +50,7 @@ def mha_pallas(
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
-    block_q: int = 512,
+    block_q: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Multi-head attention, softmax over the full key axis.
@@ -64,8 +64,10 @@ def mha_pallas(
     B, H, S, dh = q.shape
     scale = 1.0 / float(dh) ** 0.5
     bq = min(block_q, S)
+    while S % bq and bq > 1:
+        bq //= 2
     if S % bq:
-        raise ValueError(f"S={S} must be divisible by block_q={bq}")
+        raise ValueError(f"S={S} must be divisible by some block_q <= {block_q}")
 
     grid = (B, H, S // bq)
     return pl.pallas_call(

@@ -89,12 +89,36 @@ def fps(
     *,
     valid: jnp.ndarray | None = None,
     use_pallas: bool | None = None,
+    candidates: int | None = None,
 ) -> jnp.ndarray:
     """Farthest point sampling with automatic kernel dispatch.
 
     Uses the Pallas VMEM-resident kernel on TPU when the per-row working set
     fits in VMEM; falls back to the XLA loop elsewhere (CPU tests, huge N).
+
+    ``candidates``: optional APPROXIMATE mode — run FPS over a deterministic
+    strided subset of ``candidates`` points instead of all N (indices are
+    mapped back to the full cloud). FPS centers only need to *cover* the
+    cloud (they seed kNN patches, reference common.py:89-97), and a strided
+    subset of a permuted cloud is a uniform subsample, so coverage is
+    near-identical while every kernel pass shrinks by N/candidates. The
+    exactness A/B lives in evalsuite.eval_interactive (--fps-candidates);
+    default None = exact, matching torkit3d's exact CUDA FPS.
     """
+    N = points.shape[-2]
+    if candidates is not None and N > candidates:
+        if num_samples > candidates:
+            raise ValueError(
+                f"num_samples={num_samples} exceeds candidates={candidates}"
+            )
+        sub = jnp.floor(
+            jnp.arange(candidates, dtype=jnp.float32) * (N / candidates)
+        ).astype(jnp.int32)
+        pts = jnp.take(points, sub, axis=-2)
+        v = jnp.take(valid, sub, axis=-1) if valid is not None else None
+        idx = fps(pts, num_samples, valid=v, use_pallas=use_pallas)
+        return jnp.take(sub, idx)
+
     if use_pallas is None:
         n = points.shape[-2]
         use_pallas = (

@@ -258,6 +258,47 @@ def convert_state_dict(sd: dict, variables: dict, *, strict: bool = True,
     variant_unsupported = []
     pending_qkv: dict[str, dict] = {}
     pending_indexed: dict[str, np.ndarray] = {}
+    # Scan-over-blocks layout (models/vit.py ViTConfig.scan_blocks): per-
+    # block torch keys land in ONE stacked [depth, ...] leaf at
+    # ".../blocks/block/...". Stacked writes accumulate here; a leaf counts
+    # as filled only when every depth index was written.
+    pending_stacked: dict[str, np.ndarray] = {}
+    stacked_written: dict[str, set] = {}
+    _stack_re = re.compile(r"(.*)/blocks_(\d+)/(.*)")
+
+    def resolve(path):
+        """-> (target path in flat, depth index or None), or (None, None)."""
+        if path in flat:
+            return path, None
+        m = _stack_re.match(path)
+        if m:
+            sp = f"{m.group(1)}/blocks/block/{m.group(3)}"
+            if sp in flat:
+                return sp, int(m.group(2))
+        return None, None
+
+    def write(path, arr, key) -> bool:
+        tgt, idx = resolve(path)
+        if tgt is None:
+            return False
+        if idx is None:
+            if flat[tgt].shape != np.shape(arr):
+                raise ValueError(
+                    f"shape mismatch for {key} -> {tgt}: "
+                    f"{np.shape(arr)} vs {flat[tgt].shape}"
+                )
+            flat[tgt] = np.asarray(arr, dtype=np.asarray(flat[tgt]).dtype)
+            filled.add(tgt)
+        else:
+            buf = pending_stacked.setdefault(tgt, np.array(flat[tgt]))
+            if idx >= buf.shape[0] or buf[idx].shape != np.shape(arr):
+                raise ValueError(
+                    f"shape mismatch for {key} -> {tgt}[{idx}]: "
+                    f"{np.shape(arr)} vs {buf.shape}"
+                )
+            buf[idx] = np.asarray(arr)
+            stacked_written.setdefault(tgt, set()).add(idx)
+        return True
 
     def triage(key, *, had_rule: bool):
         kind = classify_unmapped(key)
@@ -294,16 +335,8 @@ def convert_state_dict(sd: dict, variables: dict, *, strict: bool = True,
                 path.rsplit("/", 1)[1]
             ] = arr
             continue
-        if path not in flat:
+        if not write(path, arr, key):
             triage(key, had_rule=True)
-            continue
-        if flat[path].shape != np.shape(arr):
-            raise ValueError(
-                f"shape mismatch for {key} -> {path}: "
-                f"{np.shape(arr)} vs {flat[path].shape}"
-            )
-        flat[path] = np.asarray(arr, dtype=np.asarray(flat[path]).dtype)
-        filled.add(path)
 
     # Assemble fused qkv. If our model also uses a fused projection (the
     # EVA-giant config), assign directly with bias [q_bias, 0, v_bias]
@@ -314,37 +347,37 @@ def convert_state_dict(sd: dict, variables: dict, *, strict: bool = True,
         w = parts["kernel"]  # [in, 3*out] after transpose
         d = w.shape[1] // 3
         fused_kpath = f"{prefix}/qkv/kernel"
-        if fused_kpath in flat:
-            flat[fused_kpath] = np.asarray(w, np.asarray(flat[fused_kpath]).dtype)
-            filled.add(fused_kpath)
+        if resolve(fused_kpath)[0] is not None:
+            write(fused_kpath, w, base)
             bpath = f"{prefix}/qkv/bias"
-            if bpath in flat:
-                bias = np.zeros(3 * d, np.asarray(flat[bpath]).dtype)
+            btgt, bidx = resolve(bpath)
+            if btgt is not None:
+                ref = flat[btgt] if bidx is None else flat[btgt][0]
+                bias = np.zeros(3 * d, np.asarray(ref).dtype)
                 if "q_bias" in parts:
                     bias[:d] = parts["q_bias"]
                 if "v_bias" in parts:
                     bias[2 * d :] = parts["v_bias"]
-                flat[bpath] = bias
-                filled.add(bpath)
+                write(bpath, bias, base)
             continue
         for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
             kpath = f"{prefix}/{name}/kernel"
-            if kpath in flat:
-                flat[kpath] = np.asarray(
-                    w[:, i * d : (i + 1) * d],
-                    np.asarray(flat[kpath]).dtype,
-                )
-                filled.add(kpath)
+            if resolve(kpath)[0] is not None:
+                write(kpath, w[:, i * d : (i + 1) * d], base)
         for bname, pname in (("q_bias", "q_proj"), ("v_bias", "v_proj")):
             if bname in parts:
                 bpath = f"{prefix}/{pname}/bias"
-                if bpath in flat:
-                    flat[bpath] = np.asarray(
-                        parts[bname], np.asarray(flat[bpath]).dtype
-                    )
-                    filled.add(bpath)
+                if resolve(bpath)[0] is not None:
+                    write(bpath, parts[bname], base)
     for base, buf in pending_indexed.items():
         flat[base] = np.asarray(buf, np.asarray(flat[base]).dtype)
+    # Finalize stacked scan-layout leaves: filled only if every block index
+    # was written, so a checkpoint missing block k still reports the leaf
+    # under ``unfilled``.
+    for tgt, buf in pending_stacked.items():
+        flat[tgt] = np.asarray(buf, np.asarray(flat[tgt]).dtype)
+        if len(stacked_written.get(tgt, ())) == buf.shape[0]:
+            filled.add(tgt)
 
     unfilled = sorted(set(flat) - filled)
     report = dict(

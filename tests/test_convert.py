@@ -177,7 +177,10 @@ class TestConverter:
         new_vars, report = convert.convert_state_dict(sd, variables)
         assert report["unmapped"] == []
         assert report["unfilled"] == [], report["unfilled"][:5]
-        blk = new_vars["params"]["pc_encoder"]["transformer"]["blocks_0"]
+        # Scan layout: per-block leaves are stacked at blocks/block/...[i].
+        stacked = new_vars["params"]["pc_encoder"]["transformer"]["blocks"][
+            "block"]
+        blk = jax.tree_util.tree_map(lambda a: a[0], stacked)
         w = sd["pc_encoder.transformer.blocks.0.attn.qkv.weight"].T
         np.testing.assert_allclose(blk["attn"]["qkv"]["kernel"], w)
         bias = blk["attn"]["qkv"]["bias"]
