@@ -11,21 +11,26 @@ ViT-L TRAINING step at the released-checkpoint config (G=1024/K=256, B=2,
 N=10k, M=2 masks, 5 click iterations — reference configs/large.yaml:10-27,
 scripts/train_large.sh).
 
-Measurement methodology: the axon-tunneled TPU attachment has a ~30 ms
+Measurement methodology: the axon-tunneled TPU attachment has a ~25-30 ms
 per-dispatch floor (a trivial jitted op measures ~30 ms wall, and
 dispatches do not pipeline through the tunnel), so raw single-call timings
-overstate device time by tens of ms — round-1 numbers suffered from this.
-Two amortization strategies are used:
+overstate device time by tens of ms. Two amortization strategies are used:
   - Cheap stages (FPS, kNN/interp geometry, patch embed, decode) run ITERS
     iterations over DISTINCT inputs inside ONE jitted ``lax.scan`` (distinct
     inputs prevent CSE; a scalar checksum readback forces completion), so
     the per-call floor amortizes to <= floor/ITERS.
-  - The ViT-L encode and train step are NOT scan-wrapped — the remote
-    compile service cannot handle a lax.scan around the full remat'd ViT-L
-    (r2 finding: >45 min then a broken tunnel). They are timed as plain
-    dispatches with the measured dispatch floor subtracted; both run long
-    enough (>=100 ms device time) that the floor correction is <30% and the
-    corrected number is reported alongside the raw one.
+  - The ViT-L encode and train step are timed as plain dispatches with the
+    measured dispatch floor subtracted; both run long enough (>=30 ms
+    device time) that the floor correction is bounded and the corrected
+    number is reported alongside the raw one. The encode checksum is a
+    SECOND tiny jit chained after encode (2x floor subtracted) so the big
+    encode program stays small enough for the remote compile service.
+
+Resumability: the remote compile tunnel degrades under sustained compile
+load and occasionally drops connections mid-run (r2 finding). Every
+completed measurement is checkpointed to ``BENCH_STATE`` (default
+/tmp/bench_state.json); a rerun skips finished stages, so a tunnel crash
+costs one stage, not the run. Delete the state file for a fresh run.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
@@ -82,6 +87,24 @@ def main():
     )
     from point_sam_tpu.ops import fps
 
+    # ------------------------------------------------- resumable state file
+    state_path = os.environ.get("BENCH_STATE", "/tmp/bench_state.json")
+    if small:
+        state_path += ".small"
+    try:
+        with open(state_path) as f:
+            state = json.load(f)
+    except Exception:
+        state = {}
+
+    def stage(key, fn):
+        if key not in state:
+            state[key] = fn()
+            with open(state_path, "w") as f:
+                json.dump(state, f)
+            print(f"# stage {key}: {state[key]}", flush=True)
+        return state[key]
+
     on_tpu = jax.default_backend() == "tpu"
     if small:
         N, G, K, BATCHES, ITERS, REPS = 4096, 128, 32, (2,), 2, 2
@@ -104,8 +127,9 @@ def main():
     trivial = jax.jit(lambda x: jnp.sum(x * 2.0))
     xtiny = jnp.ones((128, 128), jnp.float32)
     float(trivial(xtiny))
-    floor = min(
-        _timeit(lambda: float(trivial(xtiny))) for _ in range(10)
+    floor = stage(
+        "floor",
+        lambda: min(_timeit(lambda: float(trivial(xtiny))) for _ in range(10)),
     )
 
     def make_stack(iters, b):
@@ -140,21 +164,6 @@ def main():
         best = min(_timeit(lambda: float(many(*stacks))) for _ in range(REPS))
         return best / stacks[0].shape[0]
 
-    def timed_dispatch(fn, inputs_list):
-        """Best floor-corrected seconds per call over distinct inputs.
-
-        fn must be jitted and return a SCALAR checksum — float()ing it is
-        the only reliable synchronization through the tunnel (CLAUDE.md:
-        block_until_ready under-synchronizes there).
-        """
-        float(fn(*inputs_list[0]))  # compile
-        float(fn(*inputs_list[0]))  # warm
-        best = float("inf")
-        for _ in range(REPS):
-            for inp in inputs_list:
-                best = min(best, _timeit(lambda: float(fn(*inp))))
-        return max(best - floor, 1e-9), best
-
     # ------------------------------------------------------ encode stages
     def run_fps(coords, feats):
         return fps(coords, G)
@@ -163,16 +172,12 @@ def main():
         return tuple(compute_geometry(coords, tok).values())
 
     c1, f1 = make_stack(ITERS, 1)
-    t_fps = timed_scan(run_fps, c1, f1)
-    t_geom = timed_scan(run_geom, c1, f1)
+    t_fps = stage("fps", lambda: timed_scan(run_fps, c1, f1))
+    t_geom = stage("geom", lambda: timed_scan(run_geom, c1, f1))
 
     # Patch embed (gather + PointNet) alone, geometry precomputed: isolates
     # the neighbor-gather cost from FPS/kNN and from the ViT.
     geom_fn = jax.jit(lambda c: compute_geometry(c, tok))
-    geoms = [geom_fn(c1[i]) for i in range(ITERS)]
-    geom_stack = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *geoms
-    )
 
     def run_embed(coords, feats, geom):
         return model.apply(
@@ -180,9 +185,19 @@ def main():
             method=lambda m, c, f, g: m.patch_embed(c, f, g),
         )
 
-    t_embed = timed_scan(run_embed, c1, f1, geom_stack)
+    def measure_embed():
+        geoms = [geom_fn(c1[i]) for i in range(ITERS)]
+        geom_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *geoms
+        )
+        return timed_scan(run_embed, c1, f1, geom_stack)
+
+    t_embed = stage("embed", measure_embed)
 
     # ------------------------------------------ full encode (per dispatch)
+    # The scalar checksum is a SEPARATE tiny jit chained after encode (the
+    # one-jit formulation made the remote-compile program large enough to
+    # wedge the tunnel); 2x dispatch floor is subtracted.
     @jax.jit
     def encode_full(coords, feats):
         geom = compute_geometry(coords, tok)
@@ -192,113 +207,137 @@ def main():
         return emb, pe, geom
 
     @jax.jit
+    def _checksum(emb, knn_idx):
+        return jnp.sum(jnp.abs(emb).astype(jnp.float32)) + jnp.sum(knn_idx)
+
     def encode_scalar(coords, feats):
         emb, pe, geom = encode_full(coords, feats)
-        return (
-            jnp.sum(jnp.abs(emb).astype(jnp.float32))
-            + jnp.sum(geom["knn_idx"])
-        )
+        return float(_checksum(emb, geom["knn_idx"]))
 
-    t_b1, t_b1_raw = timed_dispatch(
-        encode_scalar, [(c1[i], f1[i]) for i in range(min(ITERS, 4))]
+    def timed_encode(inputs_list, n_floors=2):
+        encode_scalar(*inputs_list[0])  # compile
+        encode_scalar(*inputs_list[0])  # warm
+        best = float("inf")
+        for _ in range(REPS):
+            for inp in inputs_list:
+                best = min(best, _timeit(lambda: encode_scalar(*inp)))
+        return max(best - n_floors * floor, 1e-9), best
+
+    t_b1, t_b1_raw = stage(
+        "encode_b1",
+        lambda: timed_encode([(c1[i], f1[i]) for i in range(min(ITERS, 4))]),
     )
-    batched = {}
-    for b in BATCHES:
-        cb, fb = make_stack(2, b)
-        t_bN, _ = timed_dispatch(
-            encode_scalar, [(cb[i], fb[i]) for i in range(2)]
-        )
-        batched[b] = b / t_bN
-
-    clouds_per_sec_b1 = 1.0 / t_b1
-    clouds_per_sec = max([clouds_per_sec_b1, *batched.values()])
 
     # ------------------------------------------------- decode (clicks/sec)
     # Batched multi-prompt decode against a CACHED encoding (the
     # interactive serving hot path; BASELINE.md "clicks/sec decode").
     M = 2 if small else 8
 
-    coords0, feats0 = c1[0], f1[0]
-    emb, pe, geom = encode_full(coords0, feats0)
-    jax.block_until_ready(emb)
-    pc_stack = jnp.asarray(
-        rng.standard_normal((ITERS, M, 1, 3)).astype(np.float32) / 3.0
-    )
-    pl_ = jnp.ones((M, 1), bool)
-
-    def run_decode(pc):
-        masks, ious = model.apply(
-            variables, emb, pe, coords0, geom, pc, pl_, None,
-            prompt_valid=jnp.ones((M, 1), bool), multimask_output=True,
-            method=model.decode,
+    def measure_decode():
+        coords0, feats0 = c1[0], f1[0]
+        emb, pe, geom = encode_full(coords0, feats0)
+        jax.block_until_ready(emb)
+        pc_stack = jnp.asarray(
+            rng.standard_normal((ITERS, M, 1, 3)).astype(np.float32) / 3.0
         )
-        return ious
+        pl_ = jnp.ones((M, 1), bool)
 
-    t_decode = timed_scan(run_decode, pc_stack)
+        def run_decode(pc):
+            masks, ious = model.apply(
+                variables, emb, pe, coords0, geom, pc, pl_, None,
+                prompt_valid=jnp.ones((M, 1), bool), multimask_output=True,
+                method=model.decode,
+            )
+            return ious
+
+        return timed_scan(run_decode, pc_stack)
+
+    t_decode = stage("decode", measure_decode)
     clicks_per_sec = M / t_decode
 
     # ------------------------------------------- train step (clouds/sec)
     # Released-checkpoint train config (reference configs/large.yaml:10-27):
     # ViT-L, G=1024/K=256, batch 2, 10k points, 2 masks, 5 click iters.
-    from point_sam_tpu.models import criterion as criterion_fn
-    from point_sam_tpu.parallel import (
-        TrainState,
-        make_mesh,
-        make_optimizer,
-        make_train_step,
-        replicate,
-    )
-    from point_sam_tpu.train.schedule import warmup_multistep
-
     if small:
         tN, tG, tK, tB, tM = 1024, 64, 16, 2, 2
     else:
         tN, tG, tK, tB, tM = 10_000, 1024, 256, 2, 2
 
-    train_tok = TokenizerConfig(num_patches=tG, patch_size=tK)
-    train_cfg = PointSAMConfig(vit=vit, tokenizer=train_tok, prompt_iters=5)
-    train_model = PointCloudSAM(
-        train_cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32
-    )
-    tx = make_optimizer(
-        warmup_multistep(3e-4, [10_000], warmup_iters=100),
-        weight_decay=0.1,
-        max_grad_value=1.0,
-    )
-    tvars = init_variables(train_model, jax.random.PRNGKey(1))
-    params = tvars["params"]
-    buffers = {k: v for k, v in tvars.items() if k != "params"}
-    mesh = make_mesh()
-    state = replicate(TrainState.create(params, buffers, tx), mesh)
-    step_fn = make_train_step(
-        train_model, tx, mesh, criterion=criterion_fn, donate=False
-    )
+    def measure_train():
+        from point_sam_tpu.models import criterion as criterion_fn
+        from point_sam_tpu.parallel import (
+            TrainState,
+            make_mesh,
+            make_optimizer,
+            make_train_step,
+            replicate,
+        )
+        from point_sam_tpu.train.schedule import warmup_multistep
 
-    n_tb = 4
-    tbatches = [
-        {
-            "coords": jnp.asarray(
-                rng.standard_normal((tB, tN, 3)).astype(np.float32) / 3.0
-            ),
-            "features": jnp.asarray(rng.random((tB, tN, 3)).astype(np.float32)),
-            "gt_masks": jnp.asarray(rng.random((tB, tM, tN)) < 0.3),
-        }
-        for _ in range(n_tb)
-    ]
-    rngs = jax.random.split(jax.random.PRNGKey(2), n_tb)
+        train_tok = TokenizerConfig(num_patches=tG, patch_size=tK)
+        train_cfg = PointSAMConfig(vit=vit, tokenizer=train_tok,
+                                   prompt_iters=5)
+        train_model = PointCloudSAM(
+            train_cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32
+        )
+        tx = make_optimizer(
+            warmup_multistep(3e-4, [10_000], warmup_iters=100),
+            weight_decay=0.1,
+            max_grad_value=1.0,
+        )
+        tvars = init_variables(train_model, jax.random.PRNGKey(1))
+        params = tvars["params"]
+        buffers = {k: v for k, v in tvars.items() if k != "params"}
+        mesh = make_mesh()
+        state_tr = replicate(TrainState.create(params, buffers, tx), mesh)
+        step_fn = make_train_step(
+            train_model, tx, mesh, criterion=criterion_fn, donate=False
+        )
 
-    def train_call(i):
-        st, metrics = step_fn(state, tbatches[i], rngs[i])
-        return float(metrics["loss"])
+        n_tb = 4
+        tbatches = [
+            {
+                "coords": jnp.asarray(
+                    rng.standard_normal((tB, tN, 3)).astype(np.float32) / 3.0
+                ),
+                "features": jnp.asarray(
+                    rng.random((tB, tN, 3)).astype(np.float32)
+                ),
+                "gt_masks": jnp.asarray(rng.random((tB, tM, tN)) < 0.3),
+            }
+            for _ in range(n_tb)
+        ]
+        rngs = jax.random.split(jax.random.PRNGKey(2), n_tb)
 
-    train_call(0)  # compile + warm
-    train_call(0)
-    t_train_raw = float("inf")
-    for _ in range(REPS):
-        for i in range(n_tb):
-            t_train_raw = min(t_train_raw, _timeit(lambda: train_call(i)))
-    t_train = max(t_train_raw - floor, 1e-9)
+        def train_call(i):
+            st, metrics = step_fn(state_tr, tbatches[i], rngs[i])
+            return float(metrics["loss"])
+
+        train_call(0)  # compile + warm
+        train_call(0)
+        t_train_raw = float("inf")
+        for _ in range(REPS):
+            for i in range(n_tb):
+                t_train_raw = min(t_train_raw, _timeit(lambda: train_call(i)))
+        return max(t_train_raw - floor, 1e-9)
+
+    t_train = stage("train", measure_train)
     train_clouds_per_sec = tB / t_train
+
+    # ------------------------------------------------------ batched encode
+    # Last: each batch size compiles its own (large) encode executable.
+    batched = {}
+    for b in BATCHES:
+        def measure_bN(b=b):
+            cb, fb = make_stack(2, b)
+            t_bN, _ = timed_encode([(cb[i], fb[i]) for i in range(2)])
+            return t_bN
+
+        t_bN = stage(f"encode_b{b}", measure_bN)
+        batched[b] = b / t_bN
+
+    clouds_per_sec_b1 = 1.0 / t_b1
+    clouds_per_sec = max([clouds_per_sec_b1, *batched.values()])
 
     result = {
         "metric": "encode_clouds_per_sec_100k_G2048_K256_vitL"
@@ -328,7 +367,8 @@ def main():
         "backend": jax.default_backend(),
         "measurement": "cheap stages amortized in-jit over "
         f"{ITERS}-iteration scans; encode/train timed per dispatch minus "
-        "the measured tunnel floor (see bench.py docstring)",
+        "the measured tunnel floor; resumable per-stage state (see "
+        "bench.py docstring)",
         "baseline_note": "A100 torch reference estimated at "
         f"{A100_BASELINE_CLOUDS_PER_SEC:.0f} clouds/sec from a per-stage "
         "breakdown (see bench.py docstring; no published numbers exist). "

@@ -172,6 +172,7 @@ def main(argv=None):
     variants = {
         "base (knn auto, gk bucket_pow2, fps exact)": {},
         "knn exact": dict(knn_method="exact"),
+        "knn rt=0.9": dict(knn_recall_target=0.9),
         "gk reference": dict(gk_policy="reference"),
         f"fps candidates={fps_cand}": dict(fps_candidates=fps_cand),
     }

@@ -61,7 +61,8 @@ class InteractiveEvaluator:
                  point_buckets=(8192, 32768, 131072, 262144),
                  masks_per_batch: int = 4, knn_method: str = "auto",
                  gk_policy: str = "bucket_pow2", mesh=None,
-                 fps_candidates: int | None = None):
+                 fps_candidates: int | None = None,
+                 knn_recall_target: float = 0.95):
         """Args beyond the obvious:
 
         knn_method: "auto" (TPU approx_min_k for big clouds — default) or
@@ -71,6 +72,8 @@ class InteractiveEvaluator:
             ``candidates``): centers are sampled from a strided subset of
             this many points. None = exact FPS (reference parity); the
             A/B lives in evalsuite/ab_approx.py.
+        knn_recall_target: recall target for the approx kNN path (the
+            third A/B knob; see TokenizerConfig.knn_recall_target).
         gk_policy: tokenizer reconfiguration rule.
             - "bucket_pow2" (default): G rounded to the next power of two
               and K scaled down for tiny scenes — every scene in an N-bucket
@@ -94,6 +97,7 @@ class InteractiveEvaluator:
         self.gk_policy = gk_policy
         self.mesh = mesh
         self.fps_candidates = fps_candidates
+        self.knn_recall_target = knn_recall_target
         self._fns = {}
 
     def _bucket(self, n):
@@ -112,7 +116,8 @@ class InteractiveEvaluator:
         kw = dict(radius=tok.radius,
                   centralize_features=tok.centralize_features,
                   knn_method=self.knn_method,
-                  fps_candidates=self.fps_candidates)
+                  fps_candidates=self.fps_candidates,
+                  knn_recall_target=self.knn_recall_target)
         if self.gk_policy == "reference":
             # eval_kitti.py:350-362 verbatim: per-scene G, fixed K=256.
             if n > 30000:

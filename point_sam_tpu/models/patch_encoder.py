@@ -22,7 +22,15 @@ Dtype = Any
 
 
 class PatchEncoder(nn.Module):
-    """[B, L, K, C_in] group features -> [B, L, C_out] patch embeddings."""
+    """[B, L, K, C_in] group features -> [B, L, C_out] patch embeddings.
+
+    On TPU the forward runs as ONE fused Pallas kernel
+    (ops/patch_encoder_pallas.py) that keeps the [L*K, hidden]
+    intermediates in VMEM — the XLA lowering round-trips ~GBs of hidden
+    activations through HBM at the eval config and measures ~4x slower.
+    The kernel reads this module's own parameters (identical tree), so
+    checkpoints and the CPU/XLA path are unaffected.
+    """
 
     out_channels: int
     hidden_dims: Sequence[int] = (128, 512)
@@ -31,6 +39,32 @@ class PatchEncoder(nn.Module):
     @nn.compact
     def __call__(self, point_patches: jnp.ndarray) -> jnp.ndarray:
         h0, h1 = self.hidden_dims
+        from ..ops.patch_encoder_pallas import (
+            fused_dispatch_ok,
+            patch_encoder_fused_ad,
+        )
+
+        B, L, K, C_in = point_patches.shape
+        if not self.is_initializing() and fused_dispatch_ok(L, K, C_in):
+            p1 = self.get_variable("params", "conv1")
+            p2 = self.get_variable("params", "conv2")
+            params = tuple(
+                jnp.asarray(p)
+                for p in (
+                    p1["Dense_0"]["kernel"], p1["Dense_0"]["bias"],
+                    p1["LayerNorm_0"]["LayerNorm_0"]["scale"],
+                    p1["LayerNorm_0"]["LayerNorm_0"]["bias"],
+                    p1["Dense_1"]["kernel"], p1["Dense_1"]["bias"],
+                    p2["Dense_0"]["kernel"], p2["Dense_0"]["bias"],
+                    p2["LayerNorm_0"]["LayerNorm_0"]["scale"],
+                    p2["LayerNorm_0"]["LayerNorm_0"]["bias"],
+                    p2["Dense_1"]["kernel"], p2["Dense_1"]["bias"],
+                )
+            )
+            return patch_encoder_fused_ad(
+                point_patches.reshape(B, L * K, C_in), params, L, K, self.dtype
+            )
+
         x = PointNetLayer(h0, h0, dtype=self.dtype, name="conv1")(
             point_patches.astype(self.dtype)
         )
