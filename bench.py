@@ -14,17 +14,16 @@ scripts/train_large.sh).
 Measurement methodology: the axon-tunneled TPU attachment has a ~25-30 ms
 per-dispatch floor (a trivial jitted op measures ~30 ms wall, and
 dispatches do not pipeline through the tunnel), so raw single-call timings
-overstate device time by tens of ms. Two amortization strategies are used:
-  - Cheap stages (FPS, kNN/interp geometry, patch embed, decode) run ITERS
-    iterations over DISTINCT inputs inside ONE jitted ``lax.scan`` (distinct
-    inputs prevent CSE; a scalar checksum readback forces completion), so
-    the per-call floor amortizes to <= floor/ITERS.
-  - The ViT-L encode and train step are timed as plain dispatches with the
-    measured dispatch floor subtracted; both run long enough (>=30 ms
-    device time) that the floor correction is bounded and the corrected
-    number is reported alongside the raw one. The encode checksum is a
-    SECOND tiny jit chained after encode (2x floor subtracted) so the big
-    encode program stays small enough for the remote compile service.
+overstate device time by tens of ms. Every encode stage runs ITERS
+iterations over DISTINCT inputs inside ONE jitted ``lax.scan`` (distinct
+inputs prevent CSE; a scalar checksum readback forces completion), so the
+per-call floor amortizes to <= floor/ITERS. The full encode is measured as
+TWO such programs — geometry, then patch-embed->ViT->projections — and
+summed: the single-program formulation (100k-point geometry + the scanned
+ViT in one jit) reproducibly wedges the remote XLA compile service (r2
+finding, with and without remat), while the halves compile in seconds;
+serving uses the same split (predictor caches geometry per cloud). The
+train step is timed per dispatch minus the measured floor.
 
 Resumability: the remote compile tunnel degrades under sustained compile
 load and occasionally drops connections mid-run (r2 finding). Every
@@ -113,13 +112,7 @@ def main():
         N, G, K, BATCHES, ITERS, REPS = 100_000, 2048, 256, (4, 8), 12, 3
         vit = "eva02_large"
 
-    tok = TokenizerConfig(num_patches=G, patch_size=K)
-    cfg = PointSAMConfig(vit=vit, tokenizer=tok, prompt_iters=5)
-    model = PointCloudSAM(cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
-
     rng = np.random.default_rng(0)
-    variables = init_variables(model, jax.random.PRNGKey(0))
-    jax.block_until_ready(variables)
 
     # ------------------------------------------------------ dispatch floor
     # One tunnel round-trip for a trivially small program: everything timed
@@ -132,130 +125,12 @@ def main():
         lambda: min(_timeit(lambda: float(trivial(xtiny))) for _ in range(10)),
     )
 
-    def make_stack(iters, b):
-        return (
-            jnp.asarray(
-                rng.standard_normal((iters, b, N, 3)).astype(np.float32) / 3.0
-            ),
-            jnp.asarray(rng.random((iters, b, N, 3)).astype(np.float32)),
-        )
-
-    def timed_scan(fn, *stacks):
-        """Amortized seconds per iteration of fn over stacked inputs."""
-
-        @jax.jit
-        def many(*ss):
-            def step(c, xs):
-                out = fn(*xs)
-                leaves = jax.tree_util.tree_leaves(out)
-                return (
-                    c
-                    + sum(
-                        jnp.sum(jnp.abs(x).astype(jnp.float32)) for x in leaves
-                    ),
-                    None,
-                )
-
-            c, _ = jax.lax.scan(step, jnp.float32(0), ss)
-            return c
-
-        float(many(*stacks))  # compile
-        float(many(*stacks))  # warm
-        best = min(_timeit(lambda: float(many(*stacks))) for _ in range(REPS))
-        return best / stacks[0].shape[0]
-
-    # ------------------------------------------------------ encode stages
-    def run_fps(coords, feats):
-        return fps(coords, G)
-
-    def run_geom(coords, feats):
-        return tuple(compute_geometry(coords, tok).values())
-
-    c1, f1 = make_stack(ITERS, 1)
-    t_fps = stage("fps", lambda: timed_scan(run_fps, c1, f1))
-    t_geom = stage("geom", lambda: timed_scan(run_geom, c1, f1))
-
-    # Patch embed (gather + PointNet) alone, geometry precomputed: isolates
-    # the neighbor-gather cost from FPS/kNN and from the ViT.
-    geom_fn = jax.jit(lambda c: compute_geometry(c, tok))
-
-    def run_embed(coords, feats, geom):
-        return model.apply(
-            variables, coords, feats, geom,
-            method=lambda m, c, f, g: m.patch_embed(c, f, g),
-        )
-
-    def measure_embed():
-        geoms = [geom_fn(c1[i]) for i in range(ITERS)]
-        geom_stack = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *geoms
-        )
-        return timed_scan(run_embed, c1, f1, geom_stack)
-
-    t_embed = stage("embed", measure_embed)
-
-    # ------------------------------------------ full encode (per dispatch)
-    # The scalar checksum is a SEPARATE tiny jit chained after encode (the
-    # one-jit formulation made the remote-compile program large enough to
-    # wedge the tunnel); 2x dispatch floor is subtracted.
-    @jax.jit
-    def encode_full(coords, feats):
-        geom = compute_geometry(coords, tok)
-        emb, pe = model.apply(
-            variables, coords, feats, geom, method=model.encode
-        )
-        return emb, pe, geom
-
-    @jax.jit
-    def _checksum(emb, knn_idx):
-        return jnp.sum(jnp.abs(emb).astype(jnp.float32)) + jnp.sum(knn_idx)
-
-    def encode_scalar(coords, feats):
-        emb, pe, geom = encode_full(coords, feats)
-        return float(_checksum(emb, geom["knn_idx"]))
-
-    def timed_encode(inputs_list, n_floors=2):
-        encode_scalar(*inputs_list[0])  # compile
-        encode_scalar(*inputs_list[0])  # warm
-        best = float("inf")
-        for _ in range(REPS):
-            for inp in inputs_list:
-                best = min(best, _timeit(lambda: encode_scalar(*inp)))
-        return max(best - n_floors * floor, 1e-9), best
-
-    t_b1, t_b1_raw = stage(
-        "encode_b1",
-        lambda: timed_encode([(c1[i], f1[i]) for i in range(min(ITERS, 4))]),
-    )
-
-    # ------------------------------------------------- decode (clicks/sec)
-    # Batched multi-prompt decode against a CACHED encoding (the
-    # interactive serving hot path; BASELINE.md "clicks/sec decode").
-    M = 2 if small else 8
-
-    def measure_decode():
-        coords0, feats0 = c1[0], f1[0]
-        emb, pe, geom = encode_full(coords0, feats0)
-        jax.block_until_ready(emb)
-        pc_stack = jnp.asarray(
-            rng.standard_normal((ITERS, M, 1, 3)).astype(np.float32) / 3.0
-        )
-        pl_ = jnp.ones((M, 1), bool)
-
-        def run_decode(pc):
-            masks, ious = model.apply(
-                variables, emb, pe, coords0, geom, pc, pl_, None,
-                prompt_valid=jnp.ones((M, 1), bool), multimask_output=True,
-                method=model.decode,
-            )
-            return ious
-
-        return timed_scan(run_decode, pc_stack)
-
-    t_decode = stage("decode", measure_decode)
-    clicks_per_sec = M / t_decode
-
     # ------------------------------------------- train step (clouds/sec)
+    # The train stage runs FIRST: model params + optimizer state for ViT-L
+    # are ~6 GB on their own, and together with the inference model's
+    # params the combined footprint exceeds v5e HBM (r2 OOM). Running it
+    # before anything else allocates keeps the peak bounded; its arrays
+    # are freed when measure_train returns.
     # Released-checkpoint train config (reference configs/large.yaml:10-27):
     # ViT-L, G=1024/K=256, batch 2, 10k points, 2 masks, 5 click iters.
     if small:
@@ -290,8 +165,15 @@ def main():
         buffers = {k: v for k, v in tvars.items() if k != "params"}
         mesh = make_mesh()
         state_tr = replicate(TrainState.create(params, buffers, tx), mesh)
+        # Free the pre-replication host/device copies: together with the
+        # inference params they push the train stage over v5e HBM.
+        del tvars, params, buffers
+        # donate=True (like the real trainer): without donation the old
+        # and new optimizer states are live simultaneously (~8.4 GB for
+        # ViT-L + Adam) and the step OOMs v5e HBM. Timed calls thread the
+        # returned state back in, so donation is safe.
         step_fn = make_train_step(
-            train_model, tx, mesh, criterion=criterion_fn, donate=False
+            train_model, tx, mesh, criterion=criterion_fn, donate=True
         )
 
         n_tb = 4
@@ -309,8 +191,11 @@ def main():
         ]
         rngs = jax.random.split(jax.random.PRNGKey(2), n_tb)
 
+        state_box = [state_tr]
+
         def train_call(i):
-            st, metrics = step_fn(state_tr, tbatches[i], rngs[i])
+            st, metrics = step_fn(state_box[0], tbatches[i], rngs[i])
+            state_box[0] = st
             return float(metrics["loss"])
 
         train_call(0)  # compile + warm
@@ -324,14 +209,148 @@ def main():
     t_train = stage("train", measure_train)
     train_clouds_per_sec = tB / t_train
 
+
+    tok = TokenizerConfig(num_patches=G, patch_size=K)
+    # vit_remat=False: no backward pass here, and the remat+scan encode
+    # graph wedges the remote compiler (models/pc_sam.py::for_inference).
+    cfg = PointSAMConfig(vit=vit, tokenizer=tok, prompt_iters=5,
+                         vit_remat=False)
+    model = PointCloudSAM(cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
+
+    def make_stack(iters, b):
+        return (
+            jnp.asarray(
+                rng.standard_normal((iters, b, N, 3)).astype(np.float32) / 3.0
+            ),
+            jnp.asarray(rng.random((iters, b, N, 3)).astype(np.float32)),
+        )
+
+    def timed_scan(fn, *stacks):
+        """Amortized seconds per iteration of fn over stacked inputs.
+
+        ``variables`` is threaded as an explicit jit ARGUMENT: a closure
+        over the 1.2 GB ViT-L param tree embeds it as constants in the
+        serialized HLO, which kills the remote compile helper (r2 root
+        cause of the repeated broken-pipe compile failures).
+        """
+
+        @jax.jit
+        def many(consts, *ss):
+            def step(c, xs):
+                out = fn(consts, *xs)
+                leaves = jax.tree_util.tree_leaves(out)
+                return (
+                    c
+                    + sum(
+                        jnp.sum(jnp.abs(x).astype(jnp.float32)) for x in leaves
+                    ),
+                    None,
+                )
+
+            c, _ = jax.lax.scan(step, jnp.float32(0), ss)
+            return c
+
+        float(many(variables, *stacks))  # compile
+        float(many(variables, *stacks))  # warm
+        best = min(
+            _timeit(lambda: float(many(variables, *stacks)))
+            for _ in range(REPS)
+        )
+        return best / stacks[0].shape[0]
+
+    # ------------------------------------------------------ encode stages
+    def run_fps(v, coords, feats):
+        return fps(coords, G)
+
+    def run_geom(v, coords, feats):
+        return tuple(compute_geometry(coords, tok).values())
+
+    c1, f1 = make_stack(ITERS, 1)
+    t_fps = stage("fps", lambda: timed_scan(run_fps, c1, f1))
+    t_geom = stage("geom", lambda: timed_scan(run_geom, c1, f1))
+
+    # Patch embed (gather + PointNet) alone, geometry precomputed: isolates
+    # the neighbor-gather cost from FPS/kNN and from the ViT.
+    geom_fn = jax.jit(lambda c: compute_geometry(c, tok))
+
+    def geom_stack_for(cb, iters):
+        geoms = [geom_fn(cb[i]) for i in range(iters)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *geoms)
+
+    def run_embed(v, coords, feats, geom):
+        return model.apply(
+            v, coords, feats, geom,
+            method=lambda m, c, f, g: m.patch_embed(c, f, g),
+        )
+
+    t_embed = stage(
+        "embed",
+        lambda: timed_scan(run_embed, c1, f1, geom_stack_for(c1, ITERS)),
+    )
+
+    # -------------------------------------------------- full encode (sum)
+    # Encode time = geometry + (patch embed -> ViT -> projections), each
+    # scan-amortized in its own executable. The single-program formulation
+    # (geometry + scanned ViT in one jit) reproducibly wedges the remote
+    # XLA compile service (r2 finding, with and without remat), while the
+    # two halves compile in seconds — and scan amortization beats
+    # dispatch-floor subtraction anyway. Serving pays one extra dispatch
+    # per cloud at the same split (serving/predictor.py caches geometry
+    # separately for exactly this structure).
+    def run_encode_rest(v, coords, feats, geom):
+        emb, pe = model.apply(v, coords, feats, geom, method=model.encode)
+        return emb
+
+    t_rest = stage(
+        "encode_rest",
+        lambda: timed_scan(run_encode_rest, c1, f1, geom_stack_for(c1, ITERS)),
+    )
+    t_b1 = t_geom + t_rest
+
+    # ------------------------------------------------- decode (clicks/sec)
+    # Batched multi-prompt decode against a CACHED encoding (the
+    # interactive serving hot path; BASELINE.md "clicks/sec decode").
+    M = 2 if small else 8
+
+    def measure_decode():
+        coords0, feats0 = c1[0], f1[0]
+        geom = geom_fn(coords0)
+        emb, pe = jax.jit(
+            lambda v, c, f, g: model.apply(v, c, f, g, method=model.encode)
+        )(variables, coords0, feats0, geom)
+        jax.block_until_ready(emb)
+        pc_stack = jnp.asarray(
+            rng.standard_normal((ITERS, M, 1, 3)).astype(np.float32) / 3.0
+        )
+        pl_ = jnp.ones((M, 1), bool)
+
+        def run_decode(v, pc):
+            masks, ious = model.apply(
+                v, emb, pe, coords0, geom, pc, pl_, None,
+                prompt_valid=jnp.ones((M, 1), bool), multimask_output=True,
+                method=model.decode,
+            )
+            return ious
+
+        return timed_scan(run_decode, pc_stack)
+
+    t_decode = stage("decode", measure_decode)
+    clicks_per_sec = M / t_decode
+
     # ------------------------------------------------------ batched encode
-    # Last: each batch size compiles its own (large) encode executable.
+    # Last: each batch size compiles its own geometry + encode executables.
+    n_bi = 3
     batched = {}
     for b in BATCHES:
         def measure_bN(b=b):
-            cb, fb = make_stack(2, b)
-            t_bN, _ = timed_encode([(cb[i], fb[i]) for i in range(2)])
-            return t_bN
+            cb, fb = make_stack(n_bi, b)
+            gs = geom_stack_for(cb, n_bi)
+            t_geom_b = timed_scan(run_geom, cb, fb)
+            t_rest_b = timed_scan(run_encode_rest, cb, fb, gs)
+            return t_geom_b + t_rest_b
 
         t_bN = stage(f"encode_b{b}", measure_bN)
         batched[b] = b / t_bN
@@ -358,17 +377,16 @@ def main():
             "vit": round((t_b1 - t_geom - t_embed) * 1e3, 2),
         },
         "dispatch_floor_ms": round(floor * 1e3, 2),
-        "encode_ms_b1_raw": round(t_b1_raw * 1e3, 2),
         "decode_clicks_per_sec": round(clicks_per_sec, 2),
         "decode_ms_per_batch": round(t_decode * 1e3, 2),
         "train_clouds_per_sec": round(train_clouds_per_sec, 2),
         "train_ms_per_step": round(t_train * 1e3, 2),
         "train_config": f"vitL_G{tG}_K{tK}_B{tB}_N{tN}_M{tM}_5iters",
         "backend": jax.default_backend(),
-        "measurement": "cheap stages amortized in-jit over "
-        f"{ITERS}-iteration scans; encode/train timed per dispatch minus "
-        "the measured tunnel floor; resumable per-stage state (see "
-        "bench.py docstring)",
+        "measurement": "all encode stages amortized in-jit over "
+        f"{ITERS}-iteration scans (encode = geometry + rest, two "
+        "executables — see bench.py docstring); train timed per dispatch "
+        "minus the measured tunnel floor; resumable per-stage state",
         "baseline_note": "A100 torch reference estimated at "
         f"{A100_BASELINE_CLOUDS_PER_SEC:.0f} clouds/sec from a per-stage "
         "breakdown (see bench.py docstring; no published numbers exist). "

@@ -88,7 +88,9 @@ class InteractiveEvaluator:
             single-device.
         """
         assert gk_policy in ("bucket_pow2", "reference"), gk_policy
-        self.model = model
+        from ..models import for_inference
+
+        self.model = for_inference(model)
         self.variables = variables
         self.num_clicks = num_clicks
         self.point_buckets = tuple(point_buckets)

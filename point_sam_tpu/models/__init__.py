@@ -23,7 +23,8 @@ from .pc_encoder import (
     PatchEmbedNN,
     PointCloudEncoder,
 )
-from .pc_sam import PointCloudSAM, PointSAMConfig, init_variables
+from .pc_sam import (PointCloudSAM, PointSAMConfig, for_inference,
+                     init_variables)
 from .pc_sam_variants import (
     HierConfig,
     MaskDecoderHier,
@@ -68,6 +69,7 @@ __all__ = [
     "PointCloudEncoder",
     "PointCloudSAM",
     "PointSAMConfig",
+    "for_inference",
     "init_variables",
     "HierConfig",
     "MaskDecoderHier",

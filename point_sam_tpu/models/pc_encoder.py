@@ -141,13 +141,20 @@ class PointCloudEncoder(nn.Module):
     embed_dim: int = 256  # decoder-facing width (reference out_proj, :116)
     patch_embed_channels: int = 512
     dtype: Dtype = jnp.float32
+    # Block rematerialization. Required for ViT-L TRAINING memory; for
+    # inference-only programs it is pure compile-time cost — the composed
+    # remat+scan ViT inside the full encode graph wedges the remote XLA
+    # compile service (r2 finding), while remat=False compiles in seconds.
+    # The trainer keeps True; eval/serving/bench build with False.
+    vit_remat: bool = True
 
     def setup(self):
         self.patch_proj = nn.Dense(
             self.vit_cfg.embed_dim, dtype=self.dtype, param_dtype=jnp.float32
         )
         self.pos_embed = CoordMLP(128, self.vit_cfg.embed_dim, dtype=self.dtype)
-        self.transformer = ViT(self.vit_cfg, dtype=self.dtype)
+        self.transformer = ViT(self.vit_cfg, dtype=self.dtype,
+                               remat=self.vit_remat)
         self.out_proj = nn.Dense(
             self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32
         )

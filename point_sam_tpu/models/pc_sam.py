@@ -51,10 +51,31 @@ class PointSAMConfig:
     decoder_mlp_dim: int = 2048
     prompt_iters: int = 5
     enable_mask_refinement_iterations: bool = True
+    # ViT block remat: needed for training memory; inference-only programs
+    # should build with False (see PointCloudEncoder.vit_remat — the
+    # remat+scan composition wedges the remote compile service). The param
+    # tree is identical either way, so checkpoints transfer freely.
+    vit_remat: bool = True
 
     @property
     def vit_cfg(self) -> ViTConfig:
         return get_vit_config(self.vit) if isinstance(self.vit, str) else self.vit
+
+
+def for_inference(model):
+    """Copy of a Point-SAM module with ViT remat disabled.
+
+    The param tree is identical (nn.remat preserves names), so variables
+    transfer directly. Inference-only programs should use this: remat is
+    pure compile-time cost without a backward pass, and the remat+scan ViT
+    composed into the full encode graph wedges the remote XLA compile
+    service (see PointSAMConfig.vit_remat)."""
+    import dataclasses as _dc
+
+    cfg = model.cfg
+    if not getattr(cfg, "vit_remat", False):
+        return model
+    return type(model)(_dc.replace(cfg, vit_remat=False), dtype=model.dtype)
 
 
 def init_variables(model, rng, *, num_points: int = 256, num_features: int = 3):
@@ -103,6 +124,7 @@ class PointCloudSAM(nn.Module):
             embed_dim=c.embed_dim,
             patch_embed_channels=c.patch_embed_channels,
             dtype=self.dtype,
+            vit_remat=c.vit_remat,
         )
         self.point_encoder = PointEncoder(c.embed_dim, dtype=self.dtype)
         self.mask_encoder = MaskEncoder(c.embed_dim, dtype=self.dtype)

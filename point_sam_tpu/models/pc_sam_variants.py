@@ -56,6 +56,7 @@ class VoronoiConfig:
     decoder_mlp_dim: int = 2048
     prompt_iters: int = 5
     enable_mask_refinement_iterations: bool = True
+    vit_remat: bool = True  # see PointSAMConfig.vit_remat
 
     @property
     def vit_cfg(self) -> ViTConfig:
@@ -79,6 +80,7 @@ class PointCloudSAMNN(nn.Module):
         self.pc_encoder = PointCloudEncoder(
             c.vit_cfg, embed_dim=c.embed_dim,
             patch_embed_channels=c.patch_embed_channels, dtype=self.dtype,
+            vit_remat=c.vit_remat,
         )
         self.point_encoder = PointEncoder(c.embed_dim, dtype=self.dtype)
         self.mask_encoder = MaskEncoderNN(
@@ -176,6 +178,7 @@ class HierConfig:
     decoder_mlp_dim: int = 2048
     prompt_iters: int = 8
     enable_mask_refinement_iterations: bool = True
+    vit_remat: bool = True  # see PointSAMConfig.vit_remat
 
     @property
     def vit_cfg(self) -> ViTConfig:
@@ -305,6 +308,7 @@ class PointCloudSAMHier(nn.Module):
         self.pc_encoder = PointCloudEncoder(
             c.vit_cfg, embed_dim=c.embed_dim,
             patch_embed_channels=c.patch_embed_channels, dtype=self.dtype,
+            vit_remat=c.vit_remat,
         )
         self.point_encoder = PointEncoder(c.embed_dim, dtype=self.dtype)
         self.mask_encoder = MaskEncoderHier(

@@ -58,7 +58,9 @@ class Predictor:
         point_buckets=DEFAULT_POINT_BUCKETS,
         max_prompts: int = 64,
     ):
-        self.model = model
+        from ..models import for_inference
+
+        self.model = for_inference(model)
         self.variables = variables
         self.point_buckets = tuple(point_buckets)
         self.max_prompts = max_prompts
