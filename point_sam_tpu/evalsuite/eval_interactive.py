@@ -62,7 +62,7 @@ class InteractiveEvaluator:
                  masks_per_batch: int = 4, knn_method: str = "auto",
                  gk_policy: str = "bucket_pow2", mesh=None,
                  fps_candidates: int | None = None,
-                 knn_recall_target: float = 0.95):
+                 knn_recall_target: float = 0.9):
         """Args beyond the obvious:
 
         knn_method: "auto" (TPU approx_min_k for big clouds — default) or

@@ -38,10 +38,12 @@ class TokenizerConfig:
     matching A/B switch.
 
     ``knn_recall_target``: per-neighbor recall target for the approx kNN
-    path (ops.knn). Lowering it trades neighbor recall for encode latency
-    roughly linearly (0.95 -> ~0.98 measured set recall at 9.4 ms;
-    0.9 -> ~0.96 at 4.1 ms, v5e at G=2048 x N=100k x K=256); the mIoU
-    effect is measured by evalsuite/ab_approx.py."""
+    path (ops.knn). Trades neighbor recall for encode latency (at
+    G=2048 x N=100k x K=256 on v5e: 0.95 -> ~0.98 measured set recall,
+    9.4 ms; 0.9 -> ~0.96, 4.1 ms). Default 0.9: the end-metric A/B
+    (evalsuite/ab_approx.py, r2 run) measures mIoU-per-click deltas vs
+    both exact kNN and rt=0.95 within +-0.008 (noise) on an overfit
+    probe model — see PARITY.md "Approximation A/B"."""
 
     num_patches: int = 512
     patch_size: int = 64
@@ -49,7 +51,7 @@ class TokenizerConfig:
     centralize_features: bool = False
     knn_method: str = "auto"
     fps_candidates: int | None = None
-    knn_recall_target: float = 0.95
+    knn_recall_target: float = 0.9
 
 
 @dataclasses.dataclass(frozen=True)

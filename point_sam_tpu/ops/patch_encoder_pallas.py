@@ -141,7 +141,7 @@ def patch_encoder_fused(
     num_groups: int,
     group_size: int,
     cdt=jnp.bfloat16,
-    rows_target: int = 4096,
+    rows_target: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused patch encoder forward.
@@ -158,6 +158,10 @@ def patch_encoder_fused(
     """
     B = grouped.shape[0]
     G, K = num_groups, group_size
+    if rows_target is None:
+        # fp32 compute doubles every VMEM intermediate; halve the tile so
+        # the working set stays inside the 16 MB scoped-vmem limit.
+        rows_target = 4096 if jnp.dtype(cdt).itemsize <= 2 else 2048
     tg = _pick_tile(G, K, rows_target)
     rows = tg * K
     c_out = params[10].shape[1]

@@ -17,6 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(
@@ -26,6 +27,27 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(
+    n_data: int, n_model: int, devices: list | None = None
+) -> Mesh:
+    """2-D (data, model) mesh for combined DP x tensor parallelism.
+
+    The model axis should map to the fastest interconnect dimension (ICI
+    neighbors) — tensor-parallel collectives (all-reduce of row-parallel
+    matmul partials every layer) are latency-critical, while the data
+    axis all-reduces gradients once per step.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) != n_data * n_model:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"have {len(devices)}"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

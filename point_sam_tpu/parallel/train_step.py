@@ -152,6 +152,16 @@ def make_train_step(
             from .fsdp import fsdp_sharding_tree
 
             state_sh = fsdp_sharding_tree(state_example, mesh)
+        elif param_sharding == "tp":
+            # Megatron-style tensor parallelism over the mesh's "model"
+            # axis (parallel.tensor_parallel); optimizer moments mirror
+            # the param shardings, so the same rule tree applies to the
+            # whole TrainState.
+            if state_example is None:
+                raise ValueError("tp sharding needs state_example")
+            from .tensor_parallel import tp_sharding_tree
+
+            state_sh = tp_sharding_tree(state_example, mesh)
         else:
             state_sh = repl
         return jax.jit(
