@@ -244,6 +244,21 @@ def _fwd(grouped, params, num_groups, group_size, cdt):
 
 def _bwd(num_groups, group_size, cdt, res, g):
     grouped, params = res
+    # The fused Pallas backward when shapes/dtype allow (bf16 TPU path);
+    # otherwise recompute-and-vjp through the XLA reference.
+    if (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(cdt).itemsize <= 2
+        and fused_dispatch_ok(num_groups, group_size, grouped.shape[-1])
+    ):
+        dx, dparams = patch_encoder_fused_bwd(
+            grouped, params, g, num_groups=num_groups,
+            group_size=group_size, cdt=cdt,
+        )
+        dparams = tuple(
+            dp.astype(p.dtype) for dp, p in zip(dparams, params)
+        )
+        return dx, dparams
     _, vjp = jax.vjp(
         lambda x, p: patch_encoder_reference(
             x, p, num_groups=num_groups, group_size=group_size, cdt=cdt
@@ -272,3 +287,219 @@ def fused_dispatch_ok(num_groups: int, group_size: int, c_in: int) -> bool:
     if tg % 8 and tg != num_groups:
         return False
     return True
+
+
+# ===================================================== fused backward pass
+#
+# The custom-VJP backward originally re-ran the plain-XLA reference under
+# jax.vjp — correct, but HBM-bound exactly like the XLA forward (~3x the
+# fused forward's time), and the TRAIN step pays it 5x per step (main patch
+# embed + the mask prompt encoder in every refinement iteration). This
+# kernel recomputes the forward intermediates per patch tile in VMEM and
+# chains the backward in-kernel; parameter gradients accumulate across the
+# sequential grid in the output refs.
+
+
+def _gelu_grad_f32(z32):
+    """d/dz [z * Phi(z)] = Phi(z) + z * phi(z), exact-erf GELU."""
+    phi_cdf = 0.5 * (1.0 + erf_f32(z32 * _SQRT_HALF))
+    pdf = jnp.exp(-0.5 * z32 * z32) * jnp.float32(0.3989422804014327)
+    return phi_cdf + z32 * pdf
+
+
+def _ln_fwd_stats(a, s_ref, t_ref, cdt):
+    """Returns (y_cdt, mean, inv_std) with fp32 two-pass stats."""
+    x32 = a.astype(jnp.float32)
+    m = jnp.mean(x32, axis=-1, keepdims=True)
+    c = x32 - m
+    v = jnp.mean(c * c, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(v + 1e-5)
+    y = (c * inv) * s_ref[...].astype(jnp.float32) + t_ref[...].astype(
+        jnp.float32
+    )
+    return y.astype(cdt), m, inv
+
+
+def _ln_bwd(dy32, a, m, inv, s_ref):
+    """LN backward for y = xhat*s+t, xhat = (a-m)*inv (fp32 stats).
+
+    Returns (da32, ds, dt) with ds/dt summed over rows.
+    """
+    xhat = (a.astype(jnp.float32) - m) * inv
+    s = s_ref[...].astype(jnp.float32)
+    dxhat = dy32 * s
+    mean_dxhat = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    da = inv * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
+    ds = jnp.sum(dy32 * xhat, axis=0, keepdims=True)
+    dt = jnp.sum(dy32, axis=0, keepdims=True)
+    return da, ds, dt
+
+
+def _maxpool_bwd(dpool32, a, tg, k):
+    """Backward of max over the K axis: grad split equally among ties
+    (matching jax's reduce_max vjp). dpool32 [Tg, C] -> [Tg*K, C]."""
+    c = a.shape[-1]
+    # fp32 compare: Mosaic has no bf16 cmpf, and the upcast is exact.
+    a3 = a.astype(jnp.float32).reshape(tg, k, c)
+    mx = jnp.max(a3, axis=1, keepdims=True)
+    eq = (a3 == mx).astype(jnp.float32)
+    cnt = jnp.sum(eq, axis=1, keepdims=True)
+    da = eq * (dpool32[:, None, :] / cnt)
+    return da.reshape(tg * k, c)
+
+
+def _dot_f32(x, y, dims):
+    return jax.lax.dot_general(x, y, dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(
+    x_ref,
+    w1a_ref, b1a_ref, s1_ref, t1_ref, w1b_ref, b1b_ref,
+    w2a_ref, b2a_ref, s2_ref, t2_ref, w2b_ref, b2b_ref,
+    do_ref,
+    dx_ref,
+    dw1a_ref, db1a_ref, ds1_ref, dt1_ref, dw1b_ref, db1b_ref,
+    dw2a_ref, db2a_ref, ds2_ref, dt2_ref, dw2b_ref, db2b_ref,
+    *, tg: int, k: int, cdt,
+):
+    # ---- forward recompute (identical math to _kernel)
+    x = x_ref[0]
+    a1 = _dense(x, w1a_ref, b1a_ref, cdt)
+    l1, m1, inv1 = _ln_fwd_stats(a1, s1_ref, t1_ref, cdt)
+    l1_32 = l1.astype(jnp.float32)
+    g1 = (l1_32 * 0.5 * (1.0 + erf_f32(l1_32 * _SQRT_HALF))).astype(cdt)
+    a2 = _dense(g1, w1b_ref, b1b_ref, cdt)  # [R, H0]
+
+    h0 = a2.shape[-1]
+    a2_g = a2.reshape(tg, k, h0)
+    pool = jnp.max(a2_g, axis=1, keepdims=True)
+    pb = jnp.broadcast_to(pool, (tg, k, h0)).reshape(tg * k, h0)
+    cat = jnp.concatenate([pb, a2], axis=-1)
+
+    a3 = _dense(cat, w2a_ref, b2a_ref, cdt)
+    l3, m3, inv3 = _ln_fwd_stats(a3, s2_ref, t2_ref, cdt)
+    l3_32 = l3.astype(jnp.float32)
+    g3 = (l3_32 * 0.5 * (1.0 + erf_f32(l3_32 * _SQRT_HALF))).astype(cdt)
+    a4 = _dense(g3, w2b_ref, b2b_ref, cdt)  # [R, C_out]
+
+    # ---- backward
+    do32 = do_ref[0].astype(jnp.float32)  # [Tg, C_out]
+    da4 = _maxpool_bwd(do32, a4, tg, k)  # [R, C_out] f32
+    da4c = da4.astype(cdt)
+
+    dw2b = _dot_f32(g3, da4c, (((0,), (0,)), ((), ())))  # [H1, C_out]
+    db2b = jnp.sum(da4, axis=0, keepdims=True)
+    dg3 = _dot_f32(da4c, w2b_ref[...].astype(cdt),
+                   (((1,), (1,)), ((), ())))  # [R, H1] f32
+    dl3 = dg3 * _gelu_grad_f32(l3_32)
+    da3_32, ds2, dt2 = _ln_bwd(dl3, a3, m3, inv3, s2_ref)
+    da3 = da3_32.astype(cdt)
+
+    dw2a = _dot_f32(cat, da3, (((0,), (0,)), ((), ())))
+    db2a = jnp.sum(da3_32, axis=0, keepdims=True)
+    dcat = _dot_f32(da3, w2a_ref[...].astype(cdt),
+                    (((1,), (1,)), ((), ())))  # [R, 2*H0] f32
+
+    dpb = dcat[:, :h0]
+    dpool = jnp.sum(dpb.reshape(tg, k, h0), axis=1)  # [Tg, H0]
+    da2 = dcat[:, h0:] + _maxpool_bwd(dpool, a2, tg, k)
+    da2c = da2.astype(cdt)
+
+    dw1b = _dot_f32(g1, da2c, (((0,), (0,)), ((), ())))
+    db1b = jnp.sum(da2, axis=0, keepdims=True)
+    dg1 = _dot_f32(da2c, w1b_ref[...].astype(cdt),
+                   (((1,), (1,)), ((), ())))
+    dl1 = dg1 * _gelu_grad_f32(l1_32)
+    da1_32, ds1, dt1 = _ln_bwd(dl1, a1, m1, inv1, s1_ref)
+    da1 = da1_32.astype(cdt)
+
+    dw1a = _dot_f32(x.astype(cdt), da1, (((0,), (0,)), ((), ())))
+    db1a = jnp.sum(da1_32, axis=0, keepdims=True)
+    dx_ref[0] = _dot_f32(
+        da1, w1a_ref[...].astype(cdt), (((1,), (1,)), ((), ()))
+    ).astype(dx_ref.dtype)
+
+    # ---- parameter-grad accumulation across the sequential grid
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    updates = (
+        (dw1a_ref, dw1a), (db1a_ref, db1a), (ds1_ref, ds1), (dt1_ref, dt1),
+        (dw1b_ref, dw1b), (db1b_ref, db1b),
+        (dw2a_ref, dw2a), (db2a_ref, db2a), (ds2_ref, ds2), (dt2_ref, dt2),
+        (dw2b_ref, dw2b), (db2b_ref, db2b),
+    )
+
+    @pl.when(first)
+    def _init():
+        for ref, _ in updates:
+            ref[...] = jnp.zeros_like(ref)
+
+    for ref, val in updates:
+        ref[...] += val.astype(ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_groups", "group_size", "cdt", "rows_target",
+                     "interpret"),
+)
+def patch_encoder_fused_bwd(
+    grouped: jnp.ndarray,
+    params: tuple,
+    dout: jnp.ndarray,
+    *,
+    num_groups: int,
+    group_size: int,
+    cdt=jnp.bfloat16,
+    rows_target: int | None = None,
+    interpret: bool = False,
+):
+    """Fused backward: (dgrouped, dparams-12-tuple).
+
+    Parameter grads are fp32 (accumulated across tiles); dgrouped has
+    grouped's dtype. Vector grads come back with the params' 1-D shapes.
+    """
+    B = grouped.shape[0]
+    G, K = num_groups, group_size
+    if rows_target is None:
+        rows_target = 2048 if jnp.dtype(cdt).itemsize <= 2 else 1024
+    tg = _pick_tile(G, K, rows_target)
+    rows = tg * K
+    c_out = params[10].shape[1]
+
+    vecs = tuple(p.reshape(1, -1) if p.ndim == 1 else p for p in params)
+    full_in = lambda p: pl.BlockSpec(p.shape, lambda b, g: (0, 0))
+    full_out = lambda p: pl.BlockSpec(p.shape, lambda b, g: (0, 0))
+    from jax.experimental.pallas import tpu as pltpu
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(grouped.shape, grouped.dtype),
+        *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in vecs],
+    ]
+    out_specs = [
+        pl.BlockSpec((1, rows, grouped.shape[-1]), lambda b, g: (b, g, 0)),
+        *[full_out(p) for p in vecs],
+    ]
+    dx, *dvecs = pl.pallas_call(
+        functools.partial(_bwd_kernel, tg=tg, k=K, cdt=cdt),
+        grid=(B, G // tg),
+        in_specs=[
+            pl.BlockSpec((1, rows, grouped.shape[-1]), lambda b, g: (b, g, 0)),
+            *[full_in(p) for p in vecs],
+            pl.BlockSpec((1, tg, c_out), lambda b, g: (b, g, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the bwd working set (~33 MB at 2048 rows) exceeds the 16 MB
+            # default scoped-vmem budget; v5e has 128 MB physical VMEM.
+            vmem_limit_bytes=96 * 2**20,
+        ),
+        interpret=interpret,
+    )(grouped, *vecs, dout)
+    dparams = tuple(
+        dv.reshape(p.shape) for dv, p in zip(dvecs, params)
+    )
+    return dx, dparams

@@ -105,6 +105,41 @@ class TestFusedPatchEncoder:
         np.testing.assert_allclose(np.asarray(dx), np.asarray(want_dx),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("rows_target", [256, 1024])
+    def test_fused_bwd_matches_reference_vjp(self, rows_target):
+        # rows_target=256 forces multiple grid tiles -> exercises the
+        # cross-tile parameter-gradient accumulation.
+        from point_sam_tpu.ops.patch_encoder_pallas import (
+            patch_encoder_fused_bwd,
+        )
+
+        rng = np.random.default_rng(5)
+        B, G, K, cin, out = 2, 16, 32, 6, 64
+        x = jnp.asarray(rng.standard_normal((B, G, K, cin)).astype(np.float32))
+        pe = PatchEncoder(out_channels=out, hidden_dims=(32, 64),
+                          dtype=jnp.float32)
+        variables = pe.init(jax.random.PRNGKey(1), x)
+        params = _params_of(variables)
+        flat = x.reshape(B, G * K, cin)
+        dout = jnp.asarray(rng.standard_normal((B, G, out)).astype(np.float32))
+
+        _, vjp = jax.vjp(
+            lambda xx, pp: patch_encoder_reference(
+                xx, pp, num_groups=G, group_size=K, cdt=jnp.float32
+            ),
+            flat, params,
+        )
+        want_dx, want_dp = vjp(dout)
+        got_dx, got_dp = patch_encoder_fused_bwd(
+            flat, params, dout, num_groups=G, group_size=K,
+            cdt=jnp.float32, rows_target=rows_target, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                                   rtol=1e-4, atol=1e-5)
+        for got, want in zip(got_dp, want_dp):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_dispatch_gate(self):
         # CPU backend: never dispatches.
         assert not fused_dispatch_ok(2048, 256, 6)
