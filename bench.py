@@ -276,9 +276,19 @@ def main():
     # the neighbor-gather cost from FPS/kNN and from the ViT.
     geom_fn = jax.jit(lambda c: compute_geometry(c, tok))
 
+    _geom_stack_cache = {}
+
     def geom_stack_for(cb, iters):
-        geoms = [geom_fn(cb[i]) for i in range(iters)]
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *geoms)
+        # memoized per input-stack id: the embed and encode_rest stages
+        # share the b=1 stack, and each 100k-point geometry dispatch costs
+        # a full tunnel round trip.
+        key = (id(cb), iters)
+        if key not in _geom_stack_cache:
+            geoms = [geom_fn(cb[i]) for i in range(iters)]
+            _geom_stack_cache[key] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *geoms
+            )
+        return _geom_stack_cache[key]
 
     def run_embed(v, coords, feats, geom):
         return model.apply(

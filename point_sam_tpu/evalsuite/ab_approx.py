@@ -40,7 +40,10 @@ import numpy as np
 
 
 def geometry_surrogates(scenes, *, num_patches, patch_size, candidates,
-                        recall_target=0.95):
+                        recall_target=0.9):
+    # recall_target default matches the base evaluator's operating point
+    # (eval_interactive.InteractiveEvaluator knn_recall_target=0.9) so the
+    # surrogate characterizes the same config as the mIoU "base" variant.
     """Model-free deltas: kNN recall + FPS coverage ratio per scene."""
     import jax
     import jax.numpy as jnp
@@ -164,6 +167,12 @@ def _overfit_on_scenes(args, model, variables, scenes, *, points=4096):
             jnp.asarray(xyz[None, sel]), jnp.asarray(rgb[None, sel]),
             jnp.asarray(gt_sub[None]),
         ))
+    if not batches:
+        raise ValueError(
+            "every eval scene was filtered out of the overfit corpus "
+            f"(masks cover <= 8 of the {points} subsampled points); "
+            "raise --points or use scenes with larger instances"
+        )
 
     def loss_fn(params, batch, rng):
         coords, feats, gtm = batch

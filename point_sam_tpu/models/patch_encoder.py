@@ -45,7 +45,8 @@ class PatchEncoder(nn.Module):
         )
 
         B, L, K, C_in = point_patches.shape
-        if not self.is_initializing() and fused_dispatch_ok(L, K, C_in):
+        if not self.is_initializing() and fused_dispatch_ok(
+                L, K, C_in, self.dtype):
             p1 = self.get_variable("params", "conv1")
             p2 = self.get_variable("params", "conv2")
             params = tuple(

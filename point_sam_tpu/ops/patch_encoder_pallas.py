@@ -247,9 +247,8 @@ def _bwd(num_groups, group_size, cdt, res, g):
     # The fused Pallas backward when shapes/dtype allow (bf16 TPU path);
     # otherwise recompute-and-vjp through the XLA reference.
     if (
-        jax.default_backend() == "tpu"
-        and jnp.dtype(cdt).itemsize <= 2
-        and fused_dispatch_ok(num_groups, group_size, grouped.shape[-1])
+        jnp.dtype(cdt).itemsize <= 2
+        and fused_bwd_ok(num_groups, group_size, grouped.shape[-1])
     ):
         dx, dparams = patch_encoder_fused_bwd(
             grouped, params, g, num_groups=num_groups,
@@ -272,21 +271,38 @@ def _bwd(num_groups, group_size, cdt, res, g):
 patch_encoder_fused_ad.defvjp(_fwd, _bwd)
 
 
-def fused_dispatch_ok(num_groups: int, group_size: int, c_in: int) -> bool:
-    """Static gate for the fused kernel: TPU backend, lane-friendly shapes,
-    and a per-tile working set that fits VMEM."""
+def _tile_ok(num_groups: int, group_size: int, rows_target: int) -> bool:
+    """Mosaic block constraints for a given tile budget: rows divisible by
+    8, and the [1, Tg, C] blocks need Tg % 8 == 0 unless Tg spans all of G."""
+    tg = _pick_tile(num_groups, group_size, rows_target)
+    if (tg * group_size) % 8:
+        return False
+    if tg % 8 and tg != num_groups:
+        return False
+    return True
+
+
+def fused_dispatch_ok(num_groups: int, group_size: int, c_in: int,
+                      cdt=jnp.bfloat16) -> bool:
+    """Static gate for the fused FORWARD at compute dtype ``cdt``: TPU
+    backend, lane-friendly shapes, and a valid tile at the dtype's
+    rows_target (fp32 halves the tile — the constraint must be checked at
+    the tile actually used, not the bf16 default)."""
     if jax.default_backend() != "tpu":
         return False
     if group_size > 4096 or c_in > 128:
         return False
-    tg = _pick_tile(num_groups, group_size)
-    if (tg * group_size) % 8:
+    rows_target = 4096 if jnp.dtype(cdt).itemsize <= 2 else 2048
+    return _tile_ok(num_groups, group_size, rows_target)
+
+
+def fused_bwd_ok(num_groups: int, group_size: int, c_in: int) -> bool:
+    """Static gate for the fused BACKWARD (bf16 only; rows_target 2048)."""
+    if jax.default_backend() != "tpu":
         return False
-    # Mosaic block constraint: the [1, Tg, C_out] output block needs its
-    # second-to-last dim divisible by 8 — unless the block spans all of G.
-    if tg % 8 and tg != num_groups:
+    if group_size > 4096 or c_in > 128:
         return False
-    return True
+    return _tile_ok(num_groups, group_size, 2048)
 
 
 # ===================================================== fused backward pass

@@ -99,14 +99,9 @@ def _spec_for(path: str, shape, n_model: int) -> P:
 def tp_spec_tree(tree, n_model: int):
     """PartitionSpec pytree for a params/variables tree (pure specs — used
     by tests and by state-sharding composition)."""
-    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    specs = {
-        _path_str(path): _spec_for(_path_str(path), leaf.shape, n_model)
-        for path, leaf in flat
-    }
 
     def one(path, leaf):
-        return specs[_path_str(path)]
+        return _spec_for(_path_str(path), getattr(leaf, "shape", ()), n_model)
 
     return jax.tree_util.tree_map_with_path(one, tree)
 
