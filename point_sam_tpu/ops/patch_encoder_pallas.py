@@ -183,6 +183,8 @@ def patch_encoder_fused(
         out_shape=jax.ShapeDtypeStruct((B, G, c_out), cdt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            # allow tiles past the 16 MB default scoped budget (v5e: 128 MB)
+            vmem_limit_bytes=96 * 2**20,
         ),
         interpret=interpret,
     )(grouped, *vecs)
