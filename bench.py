@@ -109,7 +109,7 @@ def main():
         N, G, K, BATCHES, ITERS, REPS = 4096, 128, 32, (2,), 2, 2
         vit = "tiny"
     else:
-        N, G, K, BATCHES, ITERS, REPS = 100_000, 2048, 256, (4, 8), 12, 3
+        N, G, K, BATCHES, ITERS, REPS = 100_000, 2048, 256, (4, 8, 16), 12, 3
         vit = "eva02_large"
 
     rng = np.random.default_rng(0)
