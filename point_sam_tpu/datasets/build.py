@@ -166,7 +166,8 @@ class BatchIterator:
 
     def __init__(self, dataset, batch_size: int, *, shuffle=True,
                  drop_last=True, seed: int = 0, num_workers: int | None = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_index: int = 0,
+                 process_count: int = 1):
         import os
 
         self.dataset = dataset
@@ -175,6 +176,16 @@ class BatchIterator:
         self.drop_last = drop_last
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        # Multi-host data sharding (the Accelerate per-rank DataLoader
+        # equivalent, reference train.py:129-134): batch_size is the GLOBAL
+        # batch; every process computes the same seeded global order, then
+        # fetches only its disjoint contiguous slice of each batch.
+        if batch_size % max(process_count, 1):
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"process_count {process_count}")
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
         if num_workers is None:
             num_workers = min(8, os.cpu_count() or 1)
         self.num_workers = num_workers
@@ -205,6 +216,13 @@ class BatchIterator:
         bs = self.batch_size
         end = len(order) - (len(order) % bs if self.drop_last else 0)
         batches = [order[s : s + bs] for s in range(0, end, bs)]
+        if self.process_count > 1:
+            loc = bs // self.process_count
+            lo = self.process_index * loc
+            # A short trailing batch cannot split evenly across processes
+            # (mismatched global shapes); drop it regardless of drop_last.
+            batches = [idx[lo : lo + loc] for idx in batches
+                       if len(idx) == bs]
 
         if self.num_workers == 0:
             for idx in batches:

@@ -60,11 +60,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch pytree with axis-0 sharded over the mesh."""
+    """Place a host batch pytree with axis-0 sharded over the mesh.
+
+    Single-process: a plain sharded device_put. Multi-process (after
+    parallel.distributed.initialize): each process holds only ITS shard of
+    the global batch (BatchIterator process_index/count), and the global
+    jax.Array is assembled from the process-local data — the JAX
+    equivalent of DDP's per-rank DataLoader shard (reference
+    train.py:129-134 under accelerate launch).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
+    """Fully replicate a host pytree over the mesh (all processes must call
+    with identical values in the multi-process case)."""
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

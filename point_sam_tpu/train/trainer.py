@@ -53,9 +53,22 @@ def main(argv=None):
     cfg = load_config(args.config, args.overrides)
     seed = cfg.get("seed", 42)
 
+    # -------------------------------------------------- multi-host init
+    # Replaces Accelerate's rank handling (reference train.py:163-176,
+    # launched per-GPU by accelerate launch): join the process group
+    # BEFORE first backend use so jax.devices() is the global list and
+    # make_mesh() below builds a global mesh.
+    from ..parallel.distributed import is_main_process, maybe_initialize
+
+    maybe_initialize(cfg)
+    n_proc = jax.process_count()
+    main_proc = is_main_process()
+
     # ------------------------------------------------------------- model
     model = build_model(cfg.model)
-    print(f"model: {type(model).__name__} ({cfg.model.get('vit')})")
+    if main_proc:
+        print(f"model: {type(model).__name__} ({cfg.model.get('vit')})"
+              + (f" [{n_proc} processes]" if n_proc > 1 else ""))
 
     # -------------------------------------------------------------- data
     ctx = {"num_samples": cfg.get("num_samples")}
@@ -66,6 +79,8 @@ def main(argv=None):
         shuffle=cfg.train_dataloader.get("shuffle", True),
         drop_last=cfg.train_dataloader.get("drop_last", True),
         seed=seed,
+        process_index=jax.process_index(),
+        process_count=n_proc,
     )
     val_iter = None
     if cfg.get("val_freq", 0) > 0:
@@ -154,7 +169,8 @@ def main(argv=None):
         int(np.prod(p.shape))
         for p in jax.tree_util.tree_leaves(params_for_count)
     )
-    print(f"params: {n_params/1e6:.1f}M")
+    if main_proc:
+        print(f"params: {n_params/1e6:.1f}M")
     from functools import partial as _partial
 
     from ..models import criterion as criterion_fn
@@ -194,8 +210,10 @@ def main(argv=None):
         print(f"resumed from epoch {latest} (global step {global_step})")
 
     # ------------------------------------------------------------ logging
+    # wandb/stdout only on process 0 (Accelerate is_main_process
+    # equivalent); orbax saves run on ALL processes (multihost-collective).
     wandb_run = None
-    if cfg.get("log_with") == "wandb":
+    if main_proc and cfg.get("log_with") == "wandb":
         try:
             import wandb
 
@@ -207,6 +225,8 @@ def main(argv=None):
             print(f"wandb unavailable ({e}); logging to stdout")
 
     def log(metrics: dict, step: int):
+        if not main_proc:
+            return
         if wandb_run is not None:
             wandb_run.log(metrics, step=step)
         else:
@@ -233,19 +253,23 @@ def main(argv=None):
             if global_step >= max_steps:
                 break
 
-        print(
-            f"epoch {epoch} done in {time.perf_counter()-t_epoch:.1f}s "
-            f"(step {global_step})", flush=True,
-        )
+        if main_proc:
+            print(
+                f"epoch {epoch} done in {time.perf_counter()-t_epoch:.1f}s "
+                f"(step {global_step})", flush=True,
+            )
 
         if val_iter is not None and (epoch + 1) % cfg.val_freq == 0:
+            # Validation data is NOT process-sharded: every process runs the
+            # identical (deterministic) loop on its own devices — redundant
+            # but dependency-free; only process 0 logs.
             val_metrics = validate(model, state, val_iter, mesh)
             log({f"val/{k}": v for k, v in val_metrics.items()}, global_step)
             # Sample visualization: write predicted-mask PLYs (offline
             # analogue of the reference's wandb.Object3D panels,
             # train.py:314-327).
             vis_freq = cfg.get("vis_freq", 0)
-            if vis_freq and (epoch + 1) % vis_freq == 0:
+            if main_proc and vis_freq and (epoch + 1) % vis_freq == 0:
                 dump_visualizations(
                     model, state, val_iter,
                     Path(cfg.get("project_dir", ".")) / "vis" / f"ep{epoch+1}",
@@ -343,6 +367,11 @@ def validate(model, state, val_iter, mesh):
         return jnp.stack(ious), best_multi
 
     variables = {"params": state.params, **state.buffers}
+    if jax.process_count() > 1:
+        # Global (replicated) param arrays cannot mix with the local val
+        # batches inside one jit across processes; pull them to host so the
+        # val jit is purely process-local.
+        variables = jax.device_get(variables)
     agg = defaultdict(list)
     for batch_np in val_iter:
         coords = jnp.asarray(batch_np["coords"])
