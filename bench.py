@@ -279,16 +279,19 @@ def main():
     _geom_stack_cache = {}
 
     def geom_stack_for(cb, iters):
-        # memoized per input-stack id: the embed and encode_rest stages
-        # share the b=1 stack, and each 100k-point geometry dispatch costs
-        # a full tunnel round trip.
-        key = (id(cb), iters)
-        if key not in _geom_stack_cache:
+        # memoized per input stack: the embed and encode_rest stages share
+        # the b=1 stack, and each 100k-point geometry dispatch costs a full
+        # tunnel round trip. Keyed by shape (stable) with the source array
+        # pinned in the entry so a recycled id can never alias a stale
+        # stack; identity is re-checked on hit.
+        key = (cb.shape, iters)
+        hit = _geom_stack_cache.get(key)
+        if hit is None or hit[0] is not cb:
             geoms = [geom_fn(cb[i]) for i in range(iters)]
-            _geom_stack_cache[key] = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *geoms
-            )
-        return _geom_stack_cache[key]
+            stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *geoms)
+            _geom_stack_cache[key] = (cb, stack)
+            return stack
+        return hit[1]
 
     def run_embed(v, coords, feats, geom):
         return model.apply(

@@ -154,7 +154,9 @@ class InteractiveEvaluator:
             centers = batch_index_select(coords, fps_idx, axis=1)
             _, knn_idx = sharded_knn(
                 centers, coords, tok.patch_size, mesh,
-                method=tok.knn_method, key_valid=point_valid,
+                method=tok.knn_method,
+                recall_target=tok.knn_recall_target,
+                key_valid=point_valid,
             )
             idx, w = compute_interp_weights(coords, centers)
             return dict(fps_idx=fps_idx, centers=centers, knn_idx=knn_idx,
@@ -337,6 +339,13 @@ def main(argv=None):
     parser.add_argument("--scene_dir", required=True)
     parser.add_argument("--num_clicks", type=int, default=5)
     parser.add_argument("--max_scenes", type=int, default=None)
+    parser.add_argument(
+        "--category_from", default="filename-prefix",
+        choices=["filename-prefix", "none"],
+        help="how to derive the per-category mIoU table (reference prints "
+        "total AND per-object-category means, eval_kitti.py:374-390). "
+        "filename-prefix uses name.split('_')[0], the layout produced by "
+        "prepare_kitti.py; none reports a single 'all' bucket.")
     parser.add_argument("overrides", nargs="*", default=[])
     args = parser.parse_args(argv)
 
@@ -353,9 +362,14 @@ def main(argv=None):
 
         variables = load_variables(args.ckpt_path, variables)
 
+    category_from_name = (
+        (lambda n: n.split("_")[0])
+        if args.category_from == "filename-prefix" else None
+    )
     report = evaluate_directory(
         model, variables, args.scene_dir,
         num_clicks=args.num_clicks, max_scenes=args.max_scenes,
+        category_from_name=category_from_name,
     )
     print(json.dumps(report, indent=2))
     return report

@@ -35,7 +35,10 @@ import jax.numpy as jnp
 
 from .distance import sq_dist
 
-_INF = jnp.float32(jnp.inf)
+# Plain python float, NOT jnp.float32(...): a module-level jnp scalar
+# would initialize the JAX backend (i.e. open the TPU client) at import
+# time, before entry points get a chance to force the CPU platform.
+_INF = float("inf")
 
 
 def min_sq_dist_to_complement(

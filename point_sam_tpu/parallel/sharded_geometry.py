@@ -32,6 +32,7 @@ def sharded_knn(
     *,
     axis: str = "data",
     method: str = "auto",
+    recall_target: float = 0.95,
     key_valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """kNN with the key cloud sharded over a mesh axis.
@@ -63,6 +64,7 @@ def sharded_knn(
     )
     def f(q, key_local, valid_local):
         d_loc, i_loc = ops.knn(q, key_local, k, method=method,
+                               recall_target=recall_target,
                                key_valid=valid_local)
         i_glob = i_loc + (jax.lax.axis_index(axis) * shard).astype(i_loc.dtype)
         # Gather every shard's k candidates and merge: one small collective

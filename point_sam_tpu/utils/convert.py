@@ -472,3 +472,200 @@ def jax_to_py(tree):
     if isinstance(tree, dict):
         return {k: jax_to_py(v) for k, v in tree.items()}
     return np.asarray(tree)
+
+
+# ----------------------------------------------------------- parity CLI
+def golden_module_diffs(sd: dict, new_vars: dict, vit_cfg,
+                        decoder_heads: int = 8, seed: int = 0):
+    """Per-module activation diffs: numpy reference oracles (running the RAW
+    torch weights) vs our flax modules (running the CONVERTED weights), on
+    shared random inputs. Returns [(module name, relative max diff)]."""
+    import jax
+
+    # Exact-fp32 matmuls even if this lands on a TPU backend (default TPU
+    # precision is bf16-pass based, ~1e-3 off — would drown the signal).
+    with jax.default_matmul_precision("highest"):
+        return _golden_module_diffs(sd, new_vars, vit_cfg, decoder_heads,
+                                    seed)
+
+
+def _golden_module_diffs(sd, new_vars, vit_cfg, decoder_heads, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from . import golden
+
+    params = new_vars["params"]
+    rng = np.random.default_rng(seed)
+    out = []
+
+    def rel(got, want):
+        # max abs diff relative to the output scale: immune to the
+        # activation blow-up of synthetic random-weight checkpoints.
+        denom = max(float(np.abs(want).max()), 1e-6)
+        return float(np.abs(np.asarray(got) - want).max()) / denom
+
+    def pointnet_case(name, sd_prefix, tree):
+        from ..models import PatchEncoder
+
+        keys = golden.sub(sd, sd_prefix)
+        if not keys or tree is None:
+            return
+        cin = keys["conv1.0.weight"].shape[1]
+        h0 = keys["conv1.0.weight"].shape[0]
+        h1 = keys["conv2.0.weight"].shape[0]
+        cout = keys["conv2.3.weight"].shape[0]
+        x = rng.standard_normal((2, 4, 8, cin)).astype(np.float32)
+        want = golden.pointnet(keys, x)
+        mod = PatchEncoder(cout, (h0, h1))
+        got = np.asarray(mod.apply({"params": tree}, jnp.asarray(x)))
+        out.append((name, rel(got, want)))
+
+    pointnet_case("patch_embed.patch_encoder",
+                  "pc_encoder.patch_embed.patch_encoder",
+                  params.get("patch_embed", {}).get("patch_encoder"))
+    pointnet_case("mask_encoder.patch_encoder", "mask_encoder.patch_encoder",
+                  params.get("mask_encoder", {}).get("patch_encoder"))
+
+    # ViT blocks: first and last, sliced out of the scan-stacked leaves
+    # (or picked from the unrolled blocks_i subtrees).
+    from ..models.vit import EvaBlock
+
+    vt = params.get("pc_encoder", {}).get("transformer", {})
+    depth = vit_cfg.depth
+    for bi in sorted({0, depth - 1}):
+        bsd = golden.sub(sd, f"pc_encoder.transformer.blocks.{bi}")
+        if not bsd:
+            continue
+        if "blocks" in vt:
+            btree = jax.tree_util.tree_map(lambda a: np.asarray(a)[bi],
+                                           vt["blocks"]["block"])
+        elif f"blocks_{bi}" in vt:
+            btree = vt[f"blocks_{bi}"]
+        else:
+            continue
+        x = rng.standard_normal((1, 6, vit_cfg.embed_dim)).astype(np.float32)
+        want = golden.eva_block(bsd, x, vit_cfg.num_heads)
+        mod = EvaBlock(vit_cfg)
+        got = np.asarray(mod.apply({"params": btree}, jnp.asarray(x)))
+        out.append((f"vit.block_{bi}", rel(got, want)))
+
+    twsd = golden.sub(sd, "mask_decoder.transformer")
+    twtree = params.get("mask_decoder", {}).get("transformer")
+    if twsd and twtree is not None:
+        from ..models import TwoWayTransformer
+
+        dim = twsd["norm_final_attn.weight"].shape[0]
+        mlp_dim = twsd["layers.0.mlp.lin1.weight"].shape[0]
+        dsr = dim // twsd["layers.0.cross_attn_token_to_image.q_proj.weight"
+                          ].shape[0]
+        depth = 1 + max(int(k.split(".")[1]) for k in twsd
+                        if k.startswith("layers."))
+        pc = rng.standard_normal((2, 10, dim)).astype(np.float32)
+        pe = rng.standard_normal((2, 10, dim)).astype(np.float32)
+        tok = rng.standard_normal((2, 5, dim)).astype(np.float32)
+        wq, wk = golden.two_way_transformer(twsd, pc, pe, tok,
+                                            heads=decoder_heads)
+        mod = TwoWayTransformer(depth=depth, embed_dim=dim,
+                                num_heads=decoder_heads, mlp_dim=mlp_dim,
+                                downsample_rate=dsr)
+        gq, gk = mod.apply({"params": twtree}, jnp.asarray(pc),
+                           jnp.asarray(pe), jnp.asarray(tok))
+        out.append(("mask_decoder.transformer.queries", rel(gq, wq)))
+        out.append(("mask_decoder.transformer.keys", rel(gk, wk)))
+    return out
+
+
+def checkpoint_check(path: str, config: str = "large", overrides=(),
+                     golden: bool = False) -> dict:
+    """One-command real-checkpoint triage + (optionally) golden activation
+    diffs. The 5-minute parity run for when a released ``.safetensors``
+    exists (reference loads it at eval_kitti.py:319): prints how every
+    torch key fared (mapped / known-unused / variant / unknown), which of
+    our params stayed unfilled, and with ``--golden`` the per-module
+    max-abs activation diff between the raw torch weights (numpy oracles)
+    and the converted tree (our flax modules)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from safetensors import safe_open
+
+    from ..models import init_variables
+    from .config import build_model, load_config
+
+    cfg = load_config(config, list(overrides))
+    model = build_model(cfg.model)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+
+    sd = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            sd[k] = f.get_tensor(k)
+
+    new_vars, report = convert_state_dict(sd, variables, strict=False)
+    n_mapped = len(sd) - sum(map(len, (
+        report["unmapped"], report["recognized_unused"],
+        report["variant_unsupported"])))
+    print(f"checkpoint: {path}  ({len(sd)} torch keys)  config: {config}")
+    print(f"  mapped                {n_mapped}")
+    print(f"  recognized_unused     {len(report['recognized_unused'])}"
+          "  (timm tensors the reference forward never runs)")
+    print(f"  variant_unsupported   {len(report['variant_unsupported'])}")
+    for k in report["variant_unsupported"][:8]:
+        print(f"    !! {k}")
+    print(f"  unknown unmapped      {len(report['unmapped'])}")
+    for k in report["unmapped"][:8]:
+        print(f"    ?? {k}")
+    print(f"  our params unfilled   {len(report['unfilled'])}")
+    for k in report["unfilled"][:8]:
+        print(f"    .. {k}")
+    ok = not report["unmapped"] and not report["unfilled"] \
+        and not report["variant_unsupported"]
+    result = {"keys": len(sd), "mapped": n_mapped, "ok": ok,
+              "unmapped": report["unmapped"],
+              "unfilled": report["unfilled"],
+              "variant_unsupported": report["variant_unsupported"]}
+
+    if golden:
+        from ..models.vit import get_vit_config
+
+        diffs = golden_module_diffs(sd, new_vars,
+                                    get_vit_config(cfg.model["vit"]),
+                                    decoder_heads=cfg.model["decoder"]
+                                    ["num_heads"])
+        print("golden activation diffs (numpy oracle on raw torch weights "
+              "vs converted flax module; max|diff| / max|oracle out|):")
+        worst = 0.0
+        for name, d in diffs:
+            flag = "" if d < 1e-4 else "  <-- LARGE"
+            print(f"  {name:40s} rel diff = {d:.2e}{flag}")
+            worst = max(worst, d)
+        result["golden"] = dict(diffs)
+        result["golden_ok"] = worst < 1e-4
+        ok = ok and result["golden_ok"]
+    print("PARITY OK" if ok else "PARITY ISSUES FOUND (see above)")
+    return result
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Torch-checkpoint conversion triage "
+        "(python -m point_sam_tpu.utils.convert)")
+    parser.add_argument("--check", required=True, metavar="SAFETENSORS",
+                        help="path to a reference-format .safetensors")
+    parser.add_argument("--config", default="large")
+    parser.add_argument("--golden", action="store_true",
+                        help="also diff per-module activations vs numpy "
+                        "oracles of the reference semantics")
+    parser.add_argument("overrides", nargs="*", default=[])
+    args = parser.parse_args(argv)
+    result = checkpoint_check(args.check, args.config, args.overrides,
+                              golden=args.golden)
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
