@@ -66,13 +66,17 @@ class PatchEncoder(nn.Module):
                 point_patches.reshape(B, L * K, C_in), params, L, K, self.dtype
             )
 
+        from ..ops.patch_encoder_pallas import grad_safe_max
+
         x = PointNetLayer(h0, h0, dtype=self.dtype, name="conv1")(
             point_patches.astype(self.dtype)
         )
-        y = jnp.max(x, axis=-2, keepdims=True)  # [B, L, 1, h0]
+        # grad_safe_max: chained reduce_max grads NaN on XLA:TPU (see
+        # ops/patch_encoder_pallas.py::grad_safe_max); torch-max routing.
+        y = grad_safe_max(x, axis=-2, keepdims=True)  # [B, L, 1, h0]
         x = jnp.concatenate([jnp.broadcast_to(y, x.shape), x], axis=-1)
         x = PointNetLayer(h1, self.out_channels, dtype=self.dtype, name="conv2")(x)
-        return jnp.max(x, axis=-2)  # [B, L, C_out]
+        return grad_safe_max(x, axis=-2)  # [B, L, C_out]
 
 
 class PatchEncoderNN(nn.Module):

@@ -27,12 +27,15 @@ def _interp_kernel(q_ref, k_ref, idx_ref, w_ref, *, g: int, eps: float):
     # q [1, tq, 3], k [1, G, 3] -> idx/w [1, tq, K]
     q = q_ref[0]  # [tq, 3]
     k = k_ref[0]  # [G, 3]
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    k2 = jnp.sum(k * k, axis=-1, keepdims=True)
-    qk = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    d2 = jnp.maximum(q2 - 2.0 * qk + k2.T, 0.0)  # [tq, G]
+    # Explicit per-coordinate differences, NOT the q^2 - 2qk + k^2 matmul
+    # expansion: with only 3 contraction dims the matmul saves nothing,
+    # while the expansion cancels catastrophically for near neighbors
+    # (exactly the ones being ranked) and Mosaic's default-precision fp32
+    # dot adds bf16-pass noise on top — measured ~20% neighbor-order flips
+    # vs exact distances at N=100k/G=2048 (tests/tpu_smoke.py).
+    d2 = sum(
+        (q[:, i:i + 1] - k[:, i:i + 1].T) ** 2 for i in range(3)
+    )  # [tq, G], exact fp32
 
     iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     ds = []

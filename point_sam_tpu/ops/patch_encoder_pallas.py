@@ -190,6 +190,22 @@ def patch_encoder_fused(
     )(grouped, *vecs)
 
 
+def grad_safe_max(x, axis=-2, keepdims=False):
+    """``jnp.max`` with the gradient routed through argmax + gather.
+
+    XLA:TPU's fused gradient of two chained ``reduce_max`` ops in one
+    backward program emits NaN parameter gradients at this module's exact
+    shape (bf16 recompute of the pooled value inside the fused tie-split
+    max-grad divides 0/0 — reproduced on v5e, 2026-08; tests/tpu_smoke.py
+    guards it). Forward value is identical; the gradient routes to the
+    FIRST maximal element, which is also torch's ``max`` backward semantic
+    (the reference trains through torch.max at common.py:499-505).
+    """
+    idx = jnp.argmax(x, axis=axis)
+    out = jnp.take_along_axis(x, jnp.expand_dims(idx, axis), axis=axis)
+    return out if keepdims else jnp.squeeze(out, axis)
+
+
 def patch_encoder_reference(grouped, params, *, num_groups, group_size, cdt):
     """Plain-XLA mirror of models/patch_encoder.py::PatchEncoder — used as
     the custom-VJP backward (activations recomputed, standard autodiff) and
@@ -219,12 +235,12 @@ def patch_encoder_reference(grouped, params, *, num_groups, group_size, cdt):
     h = dense(x, w1a, b1a)
     h = gelu(ln(h, s1, t1))
     h = dense(h, w1b, b1b)
-    pooled = jnp.max(h, axis=-2, keepdims=True)
+    pooled = grad_safe_max(h, axis=-2, keepdims=True)
     h = jnp.concatenate([jnp.broadcast_to(pooled, h.shape), h], axis=-1)
     h = dense(h, w2a, b2a)
     h = gelu(ln(h, s2, t2))
     h = dense(h, w2b, b2b)
-    return jnp.max(h, axis=-2)
+    return grad_safe_max(h, axis=-2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -355,15 +371,22 @@ def _ln_bwd(dy32, a, m, inv, s_ref):
 
 
 def _maxpool_bwd(dpool32, a, tg, k):
-    """Backward of max over the K axis: grad split equally among ties
-    (matching jax's reduce_max vjp). dpool32 [Tg, C] -> [Tg*K, C]."""
+    """Backward of max over the K axis: grad routed to the FIRST maximal
+    element — torch ``max`` semantics (the reference trains through
+    torch.max, common.py:499-505) and what grad_safe_max/the XLA-recompute
+    fallback compute. In bf16, quantization ties are common (several of
+    256 rows round to the same max), so tie ROUTING is part of numerics
+    parity, not a corner case. dpool32 [Tg, C] -> [Tg*K, C]."""
     c = a.shape[-1]
     # fp32 compare: Mosaic has no bf16 cmpf, and the upcast is exact.
     a3 = a.astype(jnp.float32).reshape(tg, k, c)
     mx = jnp.max(a3, axis=1, keepdims=True)
-    eq = (a3 == mx).astype(jnp.float32)
-    cnt = jnp.sum(eq, axis=1, keepdims=True)
-    da = eq * (dpool32[:, None, :] / cnt)
+    eq = a3 == mx
+    # First-occurrence one-hot via a min over masked row indices (cheap
+    # VPU compare/min; Mosaic-friendly, no cumsum).
+    ii = jax.lax.broadcasted_iota(jnp.int32, (tg, k, c), 1)
+    fmin = jnp.min(jnp.where(eq, ii, k), axis=1, keepdims=True)
+    da = (ii == fmin).astype(jnp.float32) * dpool32[:, None, :]
     return da.reshape(tg * k, c)
 
 

@@ -1,0 +1,275 @@
+"""On-TPU compiled-kernel smoke suite (VERDICT r2 missing #5 / next #6).
+
+All Pallas kernels are covered by the CPU test suite in *interpret* mode
+only — a Mosaic regression (tile constraint, VMEM limit, lowering bug)
+would surface at runtime as a silent ``ops._warn.warn_fallback`` perf
+cliff, not a test failure. This module compiles every kernel for REAL on
+the attached TPU at flagship shapes, asserts numerics against the plain
+XLA references, and exits non-zero on any failure — including a fallback:
+kernel entry points are called directly so a Mosaic error raises instead
+of being swallowed by the dispatch wrappers.
+
+Run (part of the bench ritual, see CLAUDE.md):
+
+    python -m tests.tpu_smoke            # ~1-2 min incl. compiles
+
+Covers: fps_pallas, mha_pallas (+ custom VJP), interp_weights_pallas,
+patch_encoder_fused fwd + fused bwd — at the eval config (N=100k, G=2048,
+K=256, ViT-L attention) and the train config's mask-encoder shape.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _setup():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    backend = jax.default_backend()
+    if backend != "tpu":
+        print(f"tpu_smoke: default backend is '{backend}', not 'tpu' — "
+              "this suite only proves anything on real hardware. Aborting.")
+        sys.exit(2)
+    print(f"tpu_smoke: backend={backend} devices={jax.devices()}")
+
+
+_FAILURES: list[str] = []
+
+
+def _check(name, fn):
+    """Run one kernel check; record (not raise) failures so one broken
+    kernel doesn't hide the state of the others."""
+    t0 = time.perf_counter()
+    try:
+        detail = fn()
+        dt = time.perf_counter() - t0
+        print(f"  PASS {name:34s} {detail}  [{dt:.1f}s incl. compile]")
+    except Exception as e:  # noqa: BLE001 — report and keep going
+        dt = time.perf_counter() - t0
+        _FAILURES.append(name)
+        print(f"  FAIL {name:34s} [{dt:.1f}s] {type(e).__name__}: {e}")
+
+
+def check_fps():
+    import jax.numpy as jnp
+
+    from point_sam_tpu.ops.fps import fps_xla
+    from point_sam_tpu.ops.fps_pallas import fps_pallas
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((2, 100_000, 3)), jnp.float32)
+    valid = jnp.asarray(
+        np.arange(100_000)[None, :] < np.array([[100_000], [97_531]]))
+    got = np.asarray(fps_pallas(pts, 2048, valid=valid))
+    want = np.asarray(fps_xla(pts, 2048, valid=valid))
+    if not np.array_equal(got, want):
+        n = int((got != want).sum())
+        raise AssertionError(
+            f"fps_pallas != fps_xla on {n}/{got.size} selections")
+    return "bit-exact vs fps_xla  [B=2, N=100k, G=2048, ragged valid]"
+
+
+def check_mha():
+    import jax
+    import jax.numpy as jnp
+
+    from point_sam_tpu.ops.attention import (
+        mha_pallas, mha_pallas_ad, mha_reference)
+
+    rng = np.random.default_rng(1)
+    shape = (1, 16, 2048, 64)  # ViT-L: 16 heads, dh=64, S=G=2048
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32)
+               .astype(jnp.bfloat16) for _ in range(3))
+    got = np.asarray(mha_pallas(q, k, v), np.float32)
+    want = np.asarray(mha_reference(q, k, v), np.float32)
+    scale = np.abs(want).max()
+    diff = np.abs(got - want).max() / scale
+    assert diff < 2e-2, f"fwd rel diff {diff:.2e} (bf16 tol 2e-2)"
+
+    # VJP: grads of a scalar loss through the Pallas fwd vs the reference.
+    loss_p = lambda a, b, c: jnp.sum(
+        mha_pallas_ad(a, b, c).astype(jnp.float32) ** 2)
+    loss_r = lambda a, b, c: jnp.sum(
+        mha_reference(a, b, c).astype(jnp.float32) ** 2)
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(q, k, v)
+    gdiff = max(
+        float(np.abs(np.asarray(a, np.float32)
+                     - np.asarray(b, np.float32)).max()
+              / max(np.abs(np.asarray(b, np.float32)).max(), 1e-6))
+        for a, b in zip(gp, gr))
+    assert gdiff < 5e-2, f"vjp rel diff {gdiff:.2e}"
+    return f"fwd rel {diff:.1e}, vjp rel {gdiff:.1e}  [1x16x2048x64 bf16]"
+
+
+def check_interp():
+    import jax.numpy as jnp
+
+    import jax
+
+    from point_sam_tpu.ops.interp_pallas import interp_weights_pallas
+
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((1, 100_000, 3)), jnp.float32)
+    key = jnp.asarray(rng.standard_normal((1, 2048, 3)), jnp.float32)
+    gi, gw = interp_weights_pallas(q, key)
+
+    @jax.jit
+    def exact(q, key):  # inline exact oracle (common.py:238-255 semantics)
+        d2 = jnp.sum((q[:, :, None, :] - key[:, None, :, :]) ** 2, axis=-1)
+        d2k, idx = jax.lax.top_k(-d2, 3)
+        inv = 1.0 / jnp.maximum(-d2k, 1e-8)
+        return idx, inv / jnp.sum(inv, axis=-1, keepdims=True)
+
+    wi, ww = exact(q, key)
+    idx_match = float(np.mean(np.asarray(gi) == np.asarray(wi)))
+    wdiff = np.abs(np.asarray(gw) - np.asarray(ww)).max()
+    # Primary gate: the EXACT distances of the selected neighbors must
+    # match the oracle's 3 smallest (robust to same-distance index swaps).
+    sel = np.take_along_axis(
+        np.asarray(key)[0], np.asarray(gi)[0].reshape(-1, 1), axis=0
+    ).reshape(-1, 3, 3)
+    d_sel = np.sort(((np.asarray(q)[0][:, None, :] - sel) ** 2).sum(-1), -1)
+    d_ora = np.sort(np.asarray(
+        ((q[0][:, None, :] - key[0][None]) ** 2).sum(-1)
+    ), axis=-1)[:, :3]
+    drel = np.abs(d_sel - d_ora).max() / max(d_ora.max(), 1e-9)
+    assert drel < 1e-5, f"selected-neighbor distance rel diff {drel:.2e}"
+    assert idx_match > 0.999, f"idx match only {idx_match:.6f}"
+    assert wdiff < 1e-3, f"weight diff {wdiff:.2e}"
+    return (f"idx match {idx_match:.6f}, w diff {wdiff:.1e}, "
+            f"d rel {drel:.1e}  [N=100k, G=2048]")
+
+
+def _pe_params(rng, c_in, h0, h1, c_out):
+    import jax.numpy as jnp
+
+    def m(i, o):
+        return jnp.asarray(
+            rng.standard_normal((i, o)) / np.sqrt(i), jnp.float32)
+
+    def vz(n, one=False):
+        return (jnp.ones(n, jnp.float32) if one
+                else jnp.asarray(rng.standard_normal(n) * 0.02, jnp.float32))
+
+    return (m(c_in, h0), vz(h0), vz(h0, one=True), vz(h0),
+            m(h0, h0), vz(h0),
+            m(2 * h0, h1), vz(h1), vz(h1, one=True), vz(h1),
+            m(h1, c_out), vz(c_out))
+
+
+def check_patch_encoder(g, k, c_in, label):
+    import jax.numpy as jnp
+
+    from point_sam_tpu.ops.patch_encoder_pallas import (
+        patch_encoder_fused,
+        patch_encoder_fused_bwd,
+        patch_encoder_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    h0, h1, c_out = 128, 512, 512
+    params = _pe_params(rng, c_in, h0, h1, c_out)
+    grouped = jnp.asarray(
+        rng.standard_normal((1, g * k, c_in)), jnp.float32
+    ).astype(jnp.bfloat16)
+
+    got = np.asarray(patch_encoder_fused(
+        grouped, params, num_groups=g, group_size=k, cdt=jnp.bfloat16),
+        np.float32)
+    want = np.asarray(patch_encoder_reference(
+        grouped, params, num_groups=g, group_size=k, cdt=jnp.bfloat16),
+        np.float32)
+    scale = max(np.abs(want).max(), 1e-6)
+    fdiff = np.abs(got - want).max() / scale
+    assert fdiff < 2e-2, f"fwd rel diff {fdiff:.2e}"
+
+    import jax
+
+    # bf16 (the training dtype): element-wise bwd comparison is meaningless
+    # — 1-ulp activation differences between the kernel's and XLA's matmul
+    # tilings flip max-pool argmax rows, rerouting whole grad rows. Check
+    # the fp32 compile instead (ties vanish; agreement ~1e-7 measured) and
+    # assert the bf16 grads are finite.
+    dout = jnp.asarray(rng.standard_normal(want.shape), jnp.float32)
+    dxb, dpb = patch_encoder_fused_bwd(
+        grouped, params, dout.astype(jnp.bfloat16),
+        num_groups=g, group_size=k, cdt=jnp.bfloat16)
+    for t in (dxb, *dpb):
+        assert np.isfinite(np.asarray(t, np.float32)).all(), \
+            "bf16 fused bwd produced non-finite grads"
+
+    g32 = grouped.astype(jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        dx, dparams = patch_encoder_fused_bwd(
+            g32, params, dout, num_groups=g, group_size=k,
+            cdt=jnp.float32, rows_target=2048)
+
+        def ref_loss(gr, ps):
+            out = patch_encoder_reference(
+                gr, ps, num_groups=g, group_size=k, cdt=jnp.float32)
+            return jnp.sum(out * dout)
+
+        rx, rparams = jax.jit(jax.grad(ref_loss, argnums=(0, 1)))(
+            g32, params)
+    # dx: 1-ulp activation differences between Mosaic and XLA matmul
+    # tilings still flip a handful of argmax rows at fp32 — gate on the
+    # FRACTION of off elements (a real bwd bug is dense), plus a dense
+    # small-noise bound. dparams: accumulation-order noise grows with the
+    # number of sequentially-accumulated grid tiles; gate at 1e-2.
+    rx_n = np.asarray(rx)
+    d = np.abs(np.asarray(dx) - rx_n)
+    frac_off = float((d > 1e-4 * np.abs(rx_n).max()).mean())
+    assert frac_off < 5e-3, f"fp32 dx: {frac_off:.2%} elements off"
+    # A flipped pool row moves that row's whole outer-product contribution
+    # between param-grad entries — measured up to ~2e-2 rel at the eval
+    # shape's 524k rows. A formula/lowering bug shows as O(1) rel.
+    bdiff = 0.0
+    for dp, rp in zip(dparams, rparams):
+        bdiff = max(bdiff, float(
+            np.abs(np.asarray(dp) - np.asarray(rp)).max()
+            / max(np.abs(np.asarray(rp)).max(), 1e-6)))
+    assert bdiff < 5e-2, f"fp32 dparam rel diff {bdiff:.2e}"
+
+    # The XLA-recompute fallback itself (jax.vjp of the reference wrt
+    # inputs AND params, bf16) regressed to NaN on XLA:TPU via chained
+    # reduce_max grads — guard grad_safe_max keeps it finite.
+    def fb_loss(gr, ps):
+        out = patch_encoder_reference(
+            gr, ps, num_groups=g, group_size=k, cdt=jnp.bfloat16)
+        return jnp.sum(out.astype(jnp.float32)
+                       * dout.astype(jnp.float32))
+
+    fx, fparams = jax.jit(jax.grad(fb_loss, argnums=(0, 1)))(
+        grouped, params)
+    for t in (fx, *fparams):
+        assert np.isfinite(np.asarray(t, np.float32)).all(), \
+            "XLA fallback bwd produced non-finite grads (grad_safe_max " \
+            "regression)"
+    return (f"fwd rel {fdiff:.1e}, fp32 bwd rel {bdiff:.1e}, "
+            f"bf16 bwd+fallback finite  [{label}]")
+
+
+def main():
+    _setup()
+    print("compiling + checking kernels on the real chip:")
+    _check("fps_pallas", check_fps)
+    _check("mha_pallas(+vjp)", check_mha)
+    _check("interp_weights_pallas", check_interp)
+    _check("patch_encoder_fused fwd+bwd (eval)",
+           lambda: check_patch_encoder(2048, 256, 6, "G=2048 K=256 C=6"))
+    _check("patch_encoder_fused fwd+bwd (mask)",
+           lambda: check_patch_encoder(1024, 256, 4, "G=1024 K=256 C=4"))
+    if _FAILURES:
+        print(f"tpu_smoke: {len(_FAILURES)} FAILED: {_FAILURES}")
+        sys.exit(1)
+    print("tpu_smoke: all kernels compiled and verified on TPU.")
+
+
+if __name__ == "__main__":
+    main()
