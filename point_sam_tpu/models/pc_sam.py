@@ -306,20 +306,37 @@ def _click_loop(model, pc_embeddings, pc_pe, coords, geom, gt_masks, *,
         # (the reference's `i == 0 or ...` short-circuit, pc_sam.py:140).
         statically_refine = refinement and i == iters - 1 and i != 0
         if not statically_refine:
-            if sampler == "random":
-                new_pc, new_pl = sample_prompts_random(
-                    model.make_rng("sampler"), coords, gt_masks, prompt_masks,
-                    point_valid=point_valid,
-                )
-            else:
-                new_pc, new_pl = sample_prompts(
+            # rng drawn unconditionally so the "random" sampler's stream is
+            # independent of which iteration was sampled for refinement.
+            rng_i = model.make_rng("sampler") if sampler == "random" else None
+
+            def do_sample():
+                if sampler == "random":
+                    return sample_prompts_random(
+                        rng_i, coords, gt_masks, prompt_masks,
+                        point_valid=point_valid,
+                    )
+                return sample_prompts(
                     coords, gt_masks, prompt_masks, point_valid=point_valid
                 )
-            take = (
-                jnp.asarray(True)
-                if i == 0
-                else jnp.asarray(i, jnp.int32) != sampled_refine
-            )
+
+            if i == 0:
+                # Iteration 0 always clicks — no cond.
+                take = jnp.asarray(True)
+                new_pc, new_pl = do_sample()
+            else:
+                # Skip the whole sampler when this is the randomly sampled
+                # refinement-only iteration: the result was previously
+                # computed and discarded (~1.5 ms/step at train shapes).
+                take = jnp.asarray(i, jnp.int32) != sampled_refine
+                new_pc, new_pl = jax.lax.cond(
+                    take,
+                    do_sample,
+                    lambda: (
+                        jnp.zeros((BM, 1, 3), coords.dtype),
+                        jnp.zeros((BM, 1), bool),
+                    ),
+                )
             buf_coords = buf_coords.at[:, i].set(jnp.where(take, new_pc[:, 0], 0.0))
             buf_labels = buf_labels.at[:, i].set(new_pl[:, 0] & take)
             buf_valid = buf_valid.at[:, i].set(take)

@@ -94,14 +94,13 @@ class EvaAttention(nn.Module):
             v = nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
                          name="v_proj")(x)
 
-        def split_heads(t):
-            # [B, L, D] -> [B, H, L, dh] for the attention kernel.
-            return t.reshape(B, L, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+        # mha_flat consumes the projection outputs in [B, L, D] layout
+        # directly (packed-heads kernel, ops/attention.py): avoids the four
+        # per-layer head-split/merge transposes XLA would otherwise
+        # materialize around a [B, H, L, dh] kernel.
+        from ..ops.attention import mha_flat  # local import avoids a cycle
 
-        from ..ops.attention import mha  # local import avoids a cycle
-
-        out = mha(split_heads(q), split_heads(k), split_heads(v))
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        out = mha_flat(q, k, v, c.num_heads)
         if c.attn_inner_norm:
             out = LayerNorm(dtype=self.dtype, name="norm")(out)
         return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,

@@ -138,3 +138,133 @@ def mha(q, k, v, *, use_pallas: bool | None = None):
         if S >= 128 and S % 128 == 0 and dh >= 64:
             return mha_pallas_ad(q, k, v)
     return mha_reference(q, k, v)
+
+
+# ================================================== packed-heads variant
+#
+# The [B, H, S, dh] layout above forces XLA to materialize four transposed
+# copies of the activations per layer (q/k/v head-split before the kernel,
+# head-merge after) — pure HBM traffic on the ViT hot path. This variant
+# reads the projection outputs [B, S, D] DIRECTLY: each grid cell owns a
+# 128-lane slice = two dh=64 heads (the EVA02-L/base head size), slices the
+# per-head halves with static lane offsets in VMEM, and writes the output
+# back in [B, S, D] layout for the out-projection. No relayouts anywhere.
+
+
+def _mha_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int,
+                       heads_per_block: int):
+    q = q_ref[0]  # [bq, hpb*dh]
+    k = k_ref[0]  # [S, hpb*dh]
+    v = v_ref[0]
+    outs = []
+    for j in range(heads_per_block):
+        sl = slice(j * dh, (j + 1) * dh)
+        qj, kj, vj = q[:, sl], k[:, sl], v[:, sl]
+        logits = jax.lax.dot_general(
+            qj, kj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, S]
+        logits = logits * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vj.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, vj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_q", "interpret")
+)
+def mha_packed_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    *,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention on [B, S, D] inputs without head-split transposes.
+
+    Requires D // num_heads in {64, 128} (lane-slice-friendly) and, for
+    dh=64, an even head count. Numerics identical to mha_pallas.
+    """
+    B, S, D = q.shape
+    dh = D // num_heads
+    scale = 1.0 / float(dh) ** 0.5
+    hpb = 128 // dh  # heads per 128-lane block
+    bq = min(block_q, S)
+    while S % bq and bq > 1:
+        bq //= 2
+
+    grid = (B, num_heads // hpb, S // bq)
+    lanes = hpb * dh
+    return pl.pallas_call(
+        functools.partial(_mha_packed_kernel, scale=scale, dh=dh,
+                          heads_per_block=hpb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, lanes), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((1, S, lanes), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((1, S, lanes), lambda b, h, i: (b, 0, h)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, lanes), lambda b, h, i: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mha_packed_ad(q, k, v, num_heads):
+    """mha_packed_pallas with a custom VJP (same rationale as
+    mha_pallas_ad; the backward reshapes to per-head layout and reuses the
+    einsum math — transposes in the backward are off the serving hot path
+    and fuse into the surrounding grad matmuls)."""
+    return mha_packed_pallas(q, k, v, num_heads)
+
+
+def _mha_packed_fwd(q, k, v, num_heads):
+    return mha_packed_pallas(q, k, v, num_heads), (q, k, v)
+
+
+def _split_heads(t, h):
+    B, S, D = t.shape
+    return t.reshape(B, S, h, D // h).transpose(0, 2, 1, 3)
+
+
+def _mha_packed_bwd(num_heads, res, do):
+    q, k, v = res
+    B, S, D = q.shape
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    doh = _split_heads(do, num_heads)
+    dq, dk, dv = _mha_bwd((qh, kh, vh), doh)
+    merge = lambda t: t.transpose(0, 2, 1, 3).reshape(B, S, D)  # noqa: E731
+    return merge(dq), merge(dk), merge(dv)
+
+
+mha_packed_ad.defvjp(_mha_packed_fwd, _mha_packed_bwd)
+
+
+def mha_flat(q, k, v, num_heads, *, use_pallas: bool | None = None):
+    """[B, S, D] attention: packed-heads Pallas kernel when the layout
+    allows (dh in {64, 128}, lane-aligned S), else head-split + mha."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    B, S, D = q.shape
+    dh = D // num_heads
+    if (
+        use_pallas
+        and dh in (64, 128)
+        and num_heads % (128 // dh) == 0
+        and S >= 128
+        and S % 128 == 0
+    ):
+        return mha_packed_ad(q, k, v, num_heads)
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    out = mha(qh, kh, vh, use_pallas=use_pallas)
+    return out.transpose(0, 2, 1, 3).reshape(B, S, D)

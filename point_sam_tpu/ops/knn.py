@@ -200,6 +200,20 @@ def knn(
     if method == "small_k":
         return _small_k_knn(query, key, k, key_valid)
     if method == "approx":
+        from .knn_pallas import binned_dispatch_ok, knn_binned_pallas
+
+        if binned_dispatch_ok(query.shape[-2], nk, k):
+            # Pallas binned-min kernel + approx merge: ~2x the stock
+            # approx_min_k stream at the tokenizer shape with matching
+            # set recall (ops/knn_pallas.py; tests/tpu_smoke.py floor).
+            try:
+                return knn_binned_pallas(
+                    query, key, k, key_valid=key_valid,
+                    recall_target=recall_target)
+            except Exception as exc:  # pragma: no cover - Mosaic regression
+                from ._warn import warn_fallback
+
+                warn_fallback("ops.knn[binned]", exc)
         return _approx_knn(query, key, k, key_valid,
                            recall_target=recall_target)
     if nk <= dense_max or nk <= key_tile:

@@ -94,6 +94,31 @@ def _gelu(x, cdt):
     return y.astype(cdt)
 
 
+def _ln_gelu(x, s_ref, b_ref, cdt):
+    """LayerNorm -> GELU in ONE fp32 region.
+
+    The separate _layernorm/_gelu pair casts fp32->cdt->fp32 between the
+    two ops — at the eval config that intermediate round trip alone is
+    ~0.7 ms of pure VPU cast traffic (measured, round 3). In fp32 compute
+    the fusion is bit-identical (the casts were no-ops); in bf16 it skips
+    one rounding of the GELU input — well inside the kernel's bf16
+    tolerance (tests/tpu_smoke.py, 2e-2) and unobservable after the final
+    cast in practice."""
+    x32 = x.astype(jnp.float32)
+    m = jnp.mean(x32, axis=-1, keepdims=True)
+    c = x32 - m
+    v = jnp.mean(c * c, axis=-1, keepdims=True)
+    y = c * jax.lax.rsqrt(v + 1e-5)
+    y = y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    # NOTE: the unfused module path rounds the LN output to cdt before GELU;
+    # this fusion keeps full fp32 into the GELU (one fewer bf16 rounding).
+    # In fp32 compute it is bit-identical; in bf16 the divergence is one
+    # input ulp through a 1-Lipschitz activation — far inside the kernel's
+    # bf16 tolerance (tests/tpu_smoke.py asserts 2e-2 rel).
+    out = y * 0.5 * (1.0 + erf_f32(y * _SQRT_HALF))
+    return out.astype(cdt)
+
+
 def _kernel(
     x_ref,
     w1a_ref, b1a_ref, s1_ref, t1_ref, w1b_ref, b1b_ref,
@@ -103,18 +128,30 @@ def _kernel(
 ):
     x = x_ref[0]  # [Tg*K, C_in]
     h = _dense(x, w1a_ref, b1a_ref, cdt)
-    h = _layernorm(h, s1_ref, t1_ref, cdt)
-    h = _gelu(h, cdt)
+    h = _ln_gelu(h, s1_ref, t1_ref, cdt)
     h = _dense(h, w1b_ref, b1b_ref, cdt)  # [Tg*K, H0]
 
     h0 = h.shape[-1]
-    pooled = jnp.max(h.reshape(tg, k, h0), axis=1, keepdims=True)  # [Tg,1,H0]
-    pooled = jnp.broadcast_to(pooled, (tg, k, h0)).reshape(tg * k, h0)
-    h = jnp.concatenate([pooled, h], axis=-1)  # [Tg*K, 2*H0]
+    # Stage-2 first Dense on the concat [pooled | h] split into two matmuls:
+    # the pooled half is constant over K, so its contribution is a [Tg, H1]
+    # matmul broadcast-added instead of a [Tg*K, H0]@[H0, H1] — saves half
+    # of this stage's FLOPs and the materialized broadcast+concat.
+    pooled = jnp.max(h.reshape(tg, k, h0), axis=1)  # [Tg, H0]
+    w2 = w2a_ref[...]
+    up_pool = jax.lax.dot_general(
+        pooled.astype(cdt), w2[:h0].astype(cdt),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [Tg, H1] fp32
+    up_pt = jax.lax.dot_general(
+        h.astype(cdt), w2[h0:].astype(cdt),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [Tg*K, H1] fp32
+    h1 = up_pt.shape[-1]
+    h = (
+        (up_pt.reshape(tg, k, h1) + up_pool[:, None, :]).reshape(tg * k, h1)
+    ).astype(cdt) + b2a_ref[...].astype(cdt)
 
-    h = _dense(h, w2a_ref, b2a_ref, cdt)
-    h = _layernorm(h, s2_ref, t2_ref, cdt)
-    h = _gelu(h, cdt)
+    h = _ln_gelu(h, s2_ref, t2_ref, cdt)
     h = _dense(h, w2b_ref, b2b_ref, cdt)  # [Tg*K, C_out]
 
     co = h.shape[-1]

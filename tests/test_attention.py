@@ -57,3 +57,59 @@ def test_grad_under_remat(rng):
 
     g = jax.grad(lambda q: jnp.sum(block(q, k, v) ** 2))(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+# ---------------------------------------------------- packed-heads kernel
+def make_flat_qkv(rng, B=2, S=256, H=4, dh=64):
+    D = H * dh
+    return tuple(
+        jnp.asarray(rng.standard_normal((B, S, D)).astype(np.float32))
+        for _ in range(3)
+    ), H
+
+
+def _flat_reference(q, k, v, h):
+    B, S, D = q.shape
+    sh = lambda t: t.reshape(B, S, h, D // h).transpose(0, 2, 1, 3)
+    out = A.mha_reference(sh(q), sh(k), sh(v))
+    return out.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+
+def test_packed_forward_matches_reference(rng, monkeypatch):
+    monkeypatch.setattr(
+        A, "mha_packed_pallas", partial(A.mha_packed_pallas, interpret=True)
+    )
+    (q, k, v), h = make_flat_qkv(rng)
+    out = A.mha_packed_pallas(q, k, v, h, block_q=128)
+    ref = _flat_reference(q, k, v, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_dh128_single_head_blocks(rng, monkeypatch):
+    monkeypatch.setattr(
+        A, "mha_packed_pallas", partial(A.mha_packed_pallas, interpret=True)
+    )
+    (q, k, v), _ = make_flat_qkv(rng, H=2, dh=128)
+    out = A.mha_packed_pallas(q, k, v, 2, block_q=128)
+    ref = _flat_reference(q, k, v, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_vjp_matches_reference_grads(rng):
+    (q, k, v), h = make_flat_qkv(rng, S=128)
+    do = jnp.asarray(
+        np.random.default_rng(1).standard_normal(q.shape).astype(np.float32)
+    )
+    _, vjp_ref = jax.vjp(lambda a, b, c: _flat_reference(a, b, c, h), q, k, v)
+    gr = vjp_ref(do)
+    gp = A._mha_packed_bwd(h, (q, k, v), do)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_mha_flat_fallback_odd_heads(rng):
+    """dh=32 (tiny preset) must route to the einsum path and still match."""
+    (q, k, v), _ = make_flat_qkv(rng, H=4, dh=32)
+    out = A.mha_flat(q, k, v, 4, use_pallas=False)
+    ref = _flat_reference(q, k, v, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
