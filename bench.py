@@ -228,14 +228,17 @@ def main():
             jnp.asarray(rng.random((iters, b, N, 3)).astype(np.float32)),
         )
 
-    def timed_scan(fn, *stacks):
+    def timed_scan(fn, *stacks, consts=None):
         """Amortized seconds per iteration of fn over stacked inputs.
 
-        ``variables`` is threaded as an explicit jit ARGUMENT: a closure
-        over the 1.2 GB ViT-L param tree embeds it as constants in the
-        serialized HLO, which kills the remote compile helper (r2 root
-        cause of the repeated broken-pipe compile failures).
+        ``variables`` (or ``consts``) is threaded as an explicit jit
+        ARGUMENT: a closure over the 1.2 GB ViT-L param tree embeds it as
+        constants in the serialized HLO, which kills the remote compile
+        helper (r2 root cause of the repeated broken-pipe compile
+        failures).
         """
+        if consts is None:
+            consts = variables
 
         @jax.jit
         def many(consts, *ss):
@@ -253,10 +256,10 @@ def main():
             c, _ = jax.lax.scan(step, jnp.float32(0), ss)
             return c
 
-        float(many(variables, *stacks))  # compile
-        float(many(variables, *stacks))  # warm
+        float(many(consts, *stacks))  # compile
+        float(many(consts, *stacks))  # warm
         best = min(
-            _timeit(lambda: float(many(variables, *stacks)))
+            _timeit(lambda: float(many(consts, *stacks)))
             for _ in range(REPS)
         )
         return best / stacks[0].shape[0]
@@ -368,6 +371,42 @@ def main():
         t_bN = stage(f"encode_b{b}", measure_bN)
         batched[b] = b / t_bN
 
+    # ------------------------------------- EVA-giant + voronoi (config #5)
+    # BASELINE workload #5 (reference configs/voronoi_giant.yaml): voronoi
+    # tokenizer (1024 cells) + EVA-giant ViT (40 x 1408). Encode-only at
+    # the 100k-point eval scale: a single v5e cannot hold giant fp32
+    # params + AdamW moments (~16 GB) for an on-chip train-step stage —
+    # giant TRAINING is multi-chip FSDP territory, whose sharding layout
+    # the driver validates via __graft_entry__.dryrun_multichip.
+    def measure_giant():
+        from point_sam_tpu.models import for_inference
+        from point_sam_tpu.utils.config import build_model, load_config
+
+        # Smoke mode swaps the 1B-param backbone for tiny (a full EVA-giant
+        # CPU forward is ~90 s/cloud); the real run measures eva_giant.
+        gcfg = load_config("voronoi_giant",
+                           ["model.vit=tiny"] if small else [])
+        gmodel = for_inference(build_model(
+            gcfg.model, dtype=jnp.bfloat16 if on_tpu else jnp.float32))
+        gvars = init_variables(gmodel, jax.random.PRNGKey(3))
+        jax.block_until_ready(gvars)
+        g_iters = 2 if small else 6
+        cg, fg = make_stack(g_iters, 1)
+        geom_fn_g = jax.jit(lambda c: gmodel.make_geometry(c))
+        geoms = [geom_fn_g(cg[i]) for i in range(g_iters)]
+        gstack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *geoms)
+        t_ggeom = timed_scan(
+            lambda v, c, f: tuple(gmodel.make_geometry(c).values()),
+            cg, fg, consts=gvars)
+        t_grest = timed_scan(
+            lambda v, c, f, g: gmodel.apply(v, c, f, g,
+                                            method=gmodel.encode)[0],
+            cg, fg, gstack, consts=gvars)
+        return {"geom": t_ggeom, "rest": t_grest}
+
+    t_giant = stage("giant_encode", measure_giant)
+    giant_ms_per_cloud = (t_giant["geom"] + t_giant["rest"]) * 1e3
+
     clouds_per_sec_b1 = 1.0 / t_b1
     clouds_per_sec = max([clouds_per_sec_b1, *batched.values()])
 
@@ -392,6 +431,11 @@ def main():
         "dispatch_floor_ms": round(floor * 1e3, 2),
         "decode_clicks_per_sec": round(clicks_per_sec, 2),
         "decode_ms_per_batch": round(t_decode * 1e3, 2),
+        "giant_voronoi_encode_ms_per_cloud": round(giant_ms_per_cloud, 2),
+        "giant_voronoi_config": "eva_giant 40x1408 + voronoi 1024 cells, "
+        f"N={N}, B=1 (BASELINE workload #5; encode-only — giant+AdamW "
+        "exceeds one v5e HBM, giant training is multi-chip FSDP, layout "
+        "dryrun-validated)",
         "train_clouds_per_sec": round(train_clouds_per_sec, 2),
         "train_ms_per_step": round(t_train * 1e3, 2),
         "train_config": f"vitL_G{tG}_K{tK}_B{tB}_N{tN}_M{tM}_5iters",

@@ -94,16 +94,35 @@ def make_scenes(num_scenes, num_points, seed=100):
 
 
 def miou_run(model, variables, scenes, *, clicks, **evaluator_kw):
+    """Returns an [instances, clicks] array of per-instance IoUs.
+
+    Per-INSTANCE results (not per-scene means) so variants can be compared
+    PAIRED: instance order is deterministic across variants (same scenes,
+    same mask order), which is what makes the bootstrap CI on the deltas
+    tight — scene-to-scene IoU variance cancels (VERDICT r2 next #5)."""
     from .eval_interactive import InteractiveEvaluator
 
     ev = InteractiveEvaluator(model, variables, num_clicks=clicks,
                               masks_per_batch=2, **evaluator_kw)
-    per_click = [[] for _ in range(clicks)]
+    rows = []
     for xyz, rgb, gt in scenes:
         ious = ev.evaluate_scene(xyz, rgb, gt)
-        for k in range(clicks):
-            per_click[k].extend(ious[:, k].tolist())
-    return [float(np.mean(v)) for v in per_click]
+        rows.append(np.asarray(ious)[:, :clicks])
+    return np.concatenate(rows, axis=0)
+
+
+def paired_delta_ci(variant, base, *, n_boot=10_000, seed=0):
+    """Mean paired delta per click + bootstrap 95% CI over instances."""
+    d = np.asarray(variant) - np.asarray(base)  # [instances, clicks]
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(d), size=(n_boot, len(d)))
+    boots = d[idx].mean(axis=1)  # [n_boot, clicks]
+    lo, hi = np.percentile(boots, [2.5, 97.5], axis=0)
+    return {
+        "mean": [round(float(v), 4) for v in d.mean(0)],
+        "ci95": [[round(float(a), 4), round(float(b), 4)]
+                 for a, b in zip(lo, hi)],
+    }
 
 
 def get_model_and_weights(args, scenes):
@@ -203,10 +222,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="tiny")
     parser.add_argument("--ckpt", default=None)
-    parser.add_argument("--scenes", type=int, default=8)
+    parser.add_argument("--scenes", type=int, default=32)
     parser.add_argument("--points", type=int, default=32768)
     parser.add_argument("--clicks", type=int, default=3)
-    parser.add_argument("--train-steps", type=int, default=80)
+    parser.add_argument("--train-steps", type=int, default=400)
     parser.add_argument("--fps-candidates", type=int, default=16384)
     parser.add_argument("--geom-patches", type=int, default=2048,
                         help="G for the model-free surrogates")
@@ -239,34 +258,47 @@ def main(argv=None):
         "gk reference": dict(gk_policy="reference"),
         f"fps candidates={fps_cand}": dict(fps_candidates=fps_cand),
     }
-    miou = {
+    per_instance = {
         name: miou_run(model, variables, scenes, clicks=args.clicks, **kw)
         for name, kw in variants.items()
     }
+    base_name = "base (knn auto, gk bucket_pow2, fps exact)"
+    base = per_instance[base_name]
+    miou = {name: [round(float(v), 4) for v in vals.mean(0)]
+            for name, vals in per_instance.items()}
 
     report = {
         "backend": jax.default_backend(),
-        "corpus": {"scenes": len(scenes), "points": args.points,
+        "corpus": {"scenes": len(scenes),
+                   "instances": int(len(base)),
+                   "points": args.points,
                    "clicks": args.clicks,
                    "model": args.ckpt or f"{args.config} overfit "
                    f"{args.train_steps} steps on the eval scenes"},
         "geometry_surrogates": surro,
         "miou_per_click": miou,
-        "delta_vs_base": {
-            name: [round(v - b, 4) for v, b in
-                   zip(vals, miou["base (knn auto, gk bucket_pow2, "
-                                  "fps exact)"])]
-            for name, vals in miou.items()
+        # Paired per-instance deltas with bootstrap 95% CIs: the decision
+        # criterion is "CI includes 0 or |mean| < 0.01" per click.
+        "paired_delta_vs_base": {
+            name: paired_delta_ci(vals, base)
+            for name, vals in per_instance.items() if name != base_name
         },
     }
     print(json.dumps(report, indent=2))
 
     # markdown table for PARITY.md
     print("\n| variant | " + " | ".join(
-        f"mIoU@{k+1}" for k in range(args.clicks)) + " |")
-    print("|---|" + "---|" * args.clicks)
+        f"mIoU@{k+1}" for k in range(args.clicks)) + " | paired delta@last [95% CI] |")
+    print("|---|" + "---|" * (args.clicks + 1))
     for name, vals in miou.items():
-        print(f"| {name} | " + " | ".join(f"{v:.4f}" for v in vals) + " |")
+        if name == base_name:
+            delta = "—"
+        else:
+            d = report["paired_delta_vs_base"][name]
+            delta = (f"{d['mean'][-1]:+.4f} "
+                     f"[{d['ci95'][-1][0]:+.4f}, {d['ci95'][-1][1]:+.4f}]")
+        print(f"| {name} | " + " | ".join(f"{v:.4f}" for v in vals)
+              + f" | {delta} |")
     return report
 
 

@@ -378,8 +378,12 @@ def _gelu_grad_f32(z32):
     return phi_cdf + z32 * pdf
 
 
-def _ln_fwd_stats(a, s_ref, t_ref, cdt):
-    """Returns (y_cdt, mean, inv_std) with fp32 two-pass stats."""
+def _ln_fwd_stats(a, s_ref, t_ref):
+    """Returns (y_fp32, mean, inv_std) with fp32 two-pass stats.
+
+    fp32 output (no cdt round trip) to match the forward kernel's fused
+    _ln_gelu — the backward's recompute must reproduce the forward's
+    numerics choices, and the saved cast pair is the same ~VPU win."""
     x32 = a.astype(jnp.float32)
     m = jnp.mean(x32, axis=-1, keepdims=True)
     c = x32 - m
@@ -388,7 +392,7 @@ def _ln_fwd_stats(a, s_ref, t_ref, cdt):
     y = (c * inv) * s_ref[...].astype(jnp.float32) + t_ref[...].astype(
         jnp.float32
     )
-    return y.astype(cdt), m, inv
+    return y, m, inv
 
 
 def _ln_bwd(dy32, a, m, inv, s_ref):
@@ -442,23 +446,27 @@ def _bwd_kernel(
     dw2a_ref, db2a_ref, ds2_ref, dt2_ref, dw2b_ref, db2b_ref,
     *, tg: int, k: int, cdt,
 ):
-    # ---- forward recompute (identical math to _kernel)
+    # ---- forward recompute (identical math to _kernel, incl. the fused
+    # LN->GELU fp32 region and the pooled-branch matmul split)
     x = x_ref[0]
     a1 = _dense(x, w1a_ref, b1a_ref, cdt)
-    l1, m1, inv1 = _ln_fwd_stats(a1, s1_ref, t1_ref, cdt)
-    l1_32 = l1.astype(jnp.float32)
+    l1_32, m1, inv1 = _ln_fwd_stats(a1, s1_ref, t1_ref)
     g1 = (l1_32 * 0.5 * (1.0 + erf_f32(l1_32 * _SQRT_HALF))).astype(cdt)
     a2 = _dense(g1, w1b_ref, b1b_ref, cdt)  # [R, H0]
 
     h0 = a2.shape[-1]
-    a2_g = a2.reshape(tg, k, h0)
-    pool = jnp.max(a2_g, axis=1, keepdims=True)
-    pb = jnp.broadcast_to(pool, (tg, k, h0)).reshape(tg * k, h0)
-    cat = jnp.concatenate([pb, a2], axis=-1)
-
-    a3 = _dense(cat, w2a_ref, b2a_ref, cdt)
-    l3, m3, inv3 = _ln_fwd_stats(a3, s2_ref, t2_ref, cdt)
-    l3_32 = l3.astype(jnp.float32)
+    pool = jnp.max(a2.reshape(tg, k, h0), axis=1)  # [Tg, H0]
+    w2 = w2a_ref[...]
+    w2_pool = w2[:h0].astype(cdt)
+    w2_pt = w2[h0:].astype(cdt)
+    _mm = (((1,), (0,)), ((), ()))
+    up_pool = _dot_f32(pool.astype(cdt), w2_pool, _mm)  # [Tg, H1]
+    up_pt = _dot_f32(a2, w2_pt, _mm)  # [R, H1]
+    h1 = up_pt.shape[-1]
+    a3 = (
+        (up_pt.reshape(tg, k, h1) + up_pool[:, None, :]).reshape(tg * k, h1)
+    ).astype(cdt) + b2a_ref[...].astype(cdt)
+    l3_32, m3, inv3 = _ln_fwd_stats(a3, s2_ref, t2_ref)
     g3 = (l3_32 * 0.5 * (1.0 + erf_f32(l3_32 * _SQRT_HALF))).astype(cdt)
     a4 = _dense(g3, w2b_ref, b2b_ref, cdt)  # [R, C_out]
 
@@ -475,14 +483,25 @@ def _bwd_kernel(
     da3_32, ds2, dt2 = _ln_bwd(dl3, a3, m3, inv3, s2_ref)
     da3 = da3_32.astype(cdt)
 
-    dw2a = _dot_f32(cat, da3, (((0,), (0,)), ((), ())))
+    # Pooled-branch split backward: a3 = pool@Wp + a2@Wx + b, so
+    #   da2  = da3@Wx^T + maxpool_bwd((sum_K da3)@Wp^T)
+    #   dWp  = pool^T @ (sum_K da3)   [Tg-row matmul, not R-row]
+    #   dWx  = a2^T @ da3
+    # — same values as the concat form (sum reordering only), at half the
+    # R-row matmul FLOPs and no materialized [R, 2*H0] concat.
+    da3_sum = jnp.sum(
+        da3_32.reshape(tg, k, h1), axis=1).astype(cdt)  # [Tg, H1]
+    dw2a_pool = _dot_f32(pool.astype(cdt), da3_sum,
+                         (((0,), (0,)), ((), ())))  # [H0, H1]
+    dw2a_pt = _dot_f32(a2, da3, (((0,), (0,)), ((), ())))  # [H0, H1]
+    dw2a = jnp.concatenate([dw2a_pool, dw2a_pt], axis=0)  # [2*H0, H1]
     db2a = jnp.sum(da3_32, axis=0, keepdims=True)
-    dcat = _dot_f32(da3, w2a_ref[...].astype(cdt),
-                    (((1,), (1,)), ((), ())))  # [R, 2*H0] f32
 
-    dpb = dcat[:, :h0]
-    dpool = jnp.sum(dpb.reshape(tg, k, h0), axis=1)  # [Tg, H0]
-    da2 = dcat[:, h0:] + _maxpool_bwd(dpool, a2, tg, k)
+    dpool = _dot_f32(da3_sum, w2_pool, (((1,), (1,)), ((), ())))  # [Tg, H0]
+    da2 = (
+        _dot_f32(da3, w2_pt, (((1,), (1,)), ((), ())))
+        + _maxpool_bwd(dpool, a2, tg, k)
+    )
     da2c = da2.astype(cdt)
 
     dw1b = _dot_f32(g1, da2c, (((0,), (0,)), ((), ())))

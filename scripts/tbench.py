@@ -131,8 +131,8 @@ def main():
         f = jax.jit(loss_fn(model))
         return lambda: (lambda i: float(f(params, buffers, batches[i], rngs[i])))
 
-    timed_dispatch("fwd_loss", mk_fwd(model5)())
-    timed_dispatch("fwd_loss_iters1", mk_fwd(model1)())
+    timed_dispatch("fwd_loss", mk_fwd(model5))
+    timed_dispatch("fwd_loss_iters1", mk_fwd(model1))
 
     # ---- value_and_grad (no optimizer)
     def mk_vag(model):
@@ -144,8 +144,8 @@ def main():
                 jax.tree_util.tree_leaves(grads)[0].ravel()[0])
         return lambda: call
 
-    timed_dispatch("vag_full", mk_vag(model5)())
-    timed_dispatch("vag_iters1", mk_vag(model1)())
+    timed_dispatch("vag_full", mk_vag(model5))
+    timed_dispatch("vag_iters1", mk_vag(model1))
 
     # ---- grad of encode only
     def enc_loss(p, bufs, batch):
