@@ -186,6 +186,13 @@ class InteractiveEvaluator:
             self._sharded_geometry(tok) if self._use_sharded(n_pad, tok)
             else None
         )
+        if geometry_fn is not None:
+            # Big-scene bucket: also shard the decoder's N-point upscale +
+            # hypernet matmul over the mesh (models.for_sharded_eval) —
+            # same mesh axis as the sharded kNN above.
+            from ..models import for_sharded_eval
+
+            model = for_sharded_eval(self.model, self.mesh)
 
         @jax.jit
         def run(variables, coords, feats, valid, gt_masks):

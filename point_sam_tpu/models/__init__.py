@@ -24,6 +24,7 @@ from .pc_encoder import (
     PointCloudEncoder,
 )
 from .pc_sam import (PointCloudSAM, PointSAMConfig, for_inference,
+                     for_sharded_eval,
                      init_variables)
 from .pc_sam_variants import (
     HierConfig,
@@ -70,6 +71,7 @@ __all__ = [
     "PointCloudSAM",
     "PointSAMConfig",
     "for_inference",
+    "for_sharded_eval",
     "init_variables",
     "HierConfig",
     "MaskDecoderHier",

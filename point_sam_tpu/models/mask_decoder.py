@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -37,6 +38,14 @@ class MaskDecoder(nn.Module):
     num_heads: int = 8
     mlp_dim: int = 2048
     dtype: Dtype = jnp.float32
+    # Optional point-axis sharding of the N-point upscale (3-NN interp ->
+    # MLP -> hypernet dot): with a mesh set, GSPMD partitions the [B*M, N,
+    # D] upscaled activations and the [B*M, C, N] mask matmul over
+    # ``point_axis`` — the decoder's long-context story for giant scenes
+    # (SURVEY §5), extending parallel/sharded_geometry.py beyond kNN.
+    # Set via models.for_sharded_eval; None = single-device layout.
+    point_mesh: Any = None
+    point_axis: str = "data"
 
     @property
     def num_mask_tokens(self) -> int:
@@ -134,8 +143,27 @@ class MaskDecoder(nn.Module):
 
         # Upscale: 3-NN interpolate pc tokens to all N points, then MLP
         # (reference :147-164).
+        if self.point_mesh is not None:
+            # Point-axis sharding: the interp gather reads from the small
+            # REPLICATED token set, so an index/weight constraint is all
+            # GSPMD needs to partition the whole upscale + hypernet chain;
+            # every [.., N, ..] intermediate (the HBM hog at giant N)
+            # stays sharded until the mask logits.
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            shard_n = NamedSharding(
+                self.point_mesh, P_(None, self.point_axis, None))
+            interp_index = jax.lax.with_sharding_constraint(
+                interp_index, shard_n)
+            interp_weight = jax.lax.with_sharding_constraint(
+                interp_weight, shard_n)
         interp = interpolate_features_repeated(src, interp_index, interp_weight)
         upscaled = self.output_upscaling(interp)  # [B*M, N, D]
+        if self.point_mesh is not None:
+            upscaled = jax.lax.with_sharding_constraint(
+                upscaled,
+                NamedSharding(self.point_mesh,
+                              P_(None, self.point_axis, None)))
 
         token_slice = (
             range(1, self.num_mask_tokens) if multimask_output else range(0, 1)

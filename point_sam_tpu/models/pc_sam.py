@@ -51,6 +51,11 @@ class PointSAMConfig:
     decoder_mlp_dim: int = 2048
     prompt_iters: int = 5
     enable_mask_refinement_iterations: bool = True
+    # Optional mesh for point-axis-sharded decoding of giant scenes (the
+    # [B*M, N, D] upscale + hypernet matmul; see MaskDecoder.point_mesh).
+    # Set via models.for_sharded_eval — not by hand.
+    decode_point_mesh: Any = None
+    decode_point_axis: str = "data"
     # ViT block remat: needed for training memory; inference-only programs
     # should build with False (see PointCloudEncoder.vit_remat — the
     # remat+scan composition wedges the remote compile service). The param
@@ -76,6 +81,23 @@ def for_inference(model):
     if not getattr(cfg, "vit_remat", False):
         return model
     return type(model)(_dc.replace(cfg, vit_remat=False), dtype=model.dtype)
+
+
+def for_sharded_eval(model, mesh, *, axis: str = "data"):
+    """Copy of a Point-SAM module whose decoder shards the N-point upscale
+    + hypernet matmul over ``mesh``'s ``axis`` (GSPMD constraints; see
+    MaskDecoder.point_mesh). The param tree is identical, so variables
+    transfer directly — used by the big-scene evaluator together with the
+    point-axis-sharded geometry (parallel/sharded_geometry.py)."""
+    import dataclasses as _dc
+
+    cfg = model.cfg
+    if getattr(cfg, "decode_point_mesh", None) is mesh:
+        return model
+    return type(model)(
+        _dc.replace(cfg, decode_point_mesh=mesh, decode_point_axis=axis),
+        dtype=model.dtype,
+    )
 
 
 def init_variables(model, rng, *, num_points: int = 256, num_features: int = 3):
@@ -135,6 +157,8 @@ class PointCloudSAM(nn.Module):
             num_heads=c.decoder_num_heads,
             mlp_dim=c.decoder_mlp_dim,
             dtype=self.dtype,
+            point_mesh=c.decode_point_mesh,
+            point_axis=c.decode_point_axis,
         )
 
     # -------------------------------------------------------------- geometry

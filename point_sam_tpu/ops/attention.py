@@ -240,6 +240,19 @@ def _split_heads(t, h):
 def _mha_packed_bwd(num_heads, res, do):
     q, k, v = res
     B, S, D = q.shape
+    dh = D // num_heads
+    if (
+        jax.default_backend() == "tpu"
+        and dh in (64, 128)
+        and num_heads % (128 // dh) == 0
+        and 128 <= S <= 2048
+        and S % 128 == 0
+    ):
+        # Fused Pallas backward: per-head [S, S] stays in VMEM (the XLA
+        # fallback below materializes two [B, H, S, S] fp32 tensors in
+        # HBM per layer — the dominant train-step encode-bwd cost,
+        # round-3 tbench).
+        return mha_packed_bwd_pallas(q, k, v, do, num_heads)
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     doh = _split_heads(do, num_heads)
     dq, dk, dv = _mha_bwd((qh, kh, vh), doh)
@@ -268,3 +281,84 @@ def mha_flat(q, k, v, num_heads, *, use_pallas: bool | None = None):
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     out = mha(qh, kh, vh, use_pallas=use_pallas)
     return out.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+
+# ================================================== fused packed backward
+#
+# The einsum backward above recomputes softmax with XLA, which materializes
+# TWO [B, H, S, S] fp32 tensors (p and dp) in HBM per layer — at the train
+# config ([2, 16, 1024, 1024]) that is ~0.5 GB of round trips per ViT
+# layer and measured ~tens of ms of the 312 ms train step (round-3
+# tbench). This kernel keeps the whole per-head [S, S] attention matrix in
+# VMEM: one grid cell owns a (batch, 128-lane head pair), recomputes the
+# softmax, and emits dq/dk/dv for its lane slice directly in [B, S, D]
+# layout — no accumulation across cells, no HBM logits, no transposes.
+
+
+def _mha_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
+                           dv_ref, *, scale: float, dh: int,
+                           heads_per_block: int):
+    q = q_ref[0]  # [S, hpb*dh]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    dqs, dks, dvs = [], [], []
+    for j in range(heads_per_block):
+        sl = slice(j * dh, (j + 1) * dh)
+        qj, kj, vj, doj = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        logits = jax.lax.dot_general(
+            qj, kj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [S, S]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 [S, S]
+
+        do32 = doj.astype(jnp.float32)
+        v32 = vj.astype(jnp.float32)
+        # dv = p^T do  (contract over queries)
+        dvs.append(jax.lax.dot_general(
+            p, do32, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        # dp = do v^T
+        dp = jax.lax.dot_general(
+            do32, v32, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dqs.append(jax.lax.dot_general(
+            ds, kj.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(
+            ds, qj.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def mha_packed_bwd_pallas(q, k, v, do, num_heads, *, interpret=False):
+    """dq, dk, dv for mha_packed_pallas — [B, S, D] in/out, per-head [S, S]
+    matrices VMEM-resident. Requires S small enough for [S, S] fp32 in
+    VMEM (S <= 2048: p + dp = 32 MB/head; gated by the caller)."""
+    B, S, D = q.shape
+    dh = D // num_heads
+    scale = 1.0 / float(dh) ** 0.5
+    hpb = 128 // dh
+    lanes = hpb * dh
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (B, num_heads // hpb)
+    spec = pl.BlockSpec((1, S, lanes), lambda b, h: (b, 0, h))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_mha_packed_bwd_kernel, scale=scale, dh=dh,
+                          heads_per_block=hpb),
+        grid=grid,
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype) for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk, dv

@@ -113,3 +113,18 @@ def test_mha_flat_fallback_odd_heads(rng):
     out = A.mha_flat(q, k, v, 4, use_pallas=False)
     ref = _flat_reference(q, k, v, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_bwd_kernel_matches_einsum_bwd(rng):
+    """Fused Pallas attention backward (interpret) vs the einsum backward
+    — must be numerically identical (same fp32 softmax + grad formulas)."""
+    (q, k, v), h = make_flat_qkv(rng, S=256)
+    do = jnp.asarray(
+        np.random.default_rng(3).standard_normal(q.shape).astype(np.float32))
+    gk = A.mha_packed_bwd_pallas(q, k, v, do, h, interpret=True)
+    qh, kh, vh = (A._split_heads(t, h) for t in (q, k, v))
+    ge = A._mha_bwd((qh, kh, vh), A._split_heads(do, h))
+    B, S, D = q.shape
+    merge = lambda t: t.transpose(0, 2, 1, 3).reshape(B, S, D)  # noqa: E731
+    for a, b in zip(gk, (merge(x) for x in ge)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

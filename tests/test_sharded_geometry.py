@@ -95,3 +95,45 @@ class TestShardedEvaluator:
         ious_sh = ev_sh.evaluate_scene(xyz, rgb, gt)
         ious_1d = ev_1d.evaluate_scene(xyz, rgb, gt)
         np.testing.assert_allclose(ious_sh, ious_1d, atol=2e-2)
+
+
+class TestShardedDecode:
+    def test_point_sharded_decode_matches_single_device(self, rng):
+        """for_sharded_eval: the decoder's point-axis GSPMD constraints
+        (interp -> upscale MLP -> hypernet dot) must not change numerics
+        vs the unsharded layout (VERDICT r2 next #9)."""
+        from point_sam_tpu.models import (
+            PointCloudSAM, PointSAMConfig, TokenizerConfig,
+            for_sharded_eval, init_variables,
+        )
+
+        mesh = make_mesh()
+        cfg = PointSAMConfig(vit="tiny",
+                             tokenizer=TokenizerConfig(16, 8),
+                             prompt_iters=1)
+        model = PointCloudSAM(cfg)
+        v = init_variables(model, jax.random.PRNGKey(0))
+        N = 1024  # divisible by the 8-device mesh
+        coords = jnp.asarray(
+            rng.standard_normal((1, N, 3)).astype(np.float32) / 3)
+        feats = jnp.asarray(rng.random((1, N, 3)).astype(np.float32))
+        geom = jax.jit(model.make_geometry)(coords)
+        emb, pe = model.apply(v, coords, feats, geom, method=model.encode)
+        pc = coords[:, :1]
+        pl = jnp.ones((1, 1), bool)
+
+        masks_ref, iou_ref = jax.jit(
+            lambda v_, e, p: model.apply(v_, e, p, coords, geom, pc, pl,
+                                         None, method=model.decode)
+        )(v, emb, pe)
+
+        smodel = for_sharded_eval(model, mesh)
+        assert smodel.cfg.decode_point_mesh is mesh
+        masks_sh, iou_sh = jax.jit(
+            lambda v_, e, p: smodel.apply(v_, e, p, coords, geom, pc, pl,
+                                          None, method=smodel.decode)
+        )(v, emb, pe)
+        np.testing.assert_allclose(np.asarray(masks_sh),
+                                   np.asarray(masks_ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(iou_sh), np.asarray(iou_ref),
+                                   atol=2e-5)

@@ -280,7 +280,21 @@ def check_mha_packed():
     g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
     for t in g:
         assert np.isfinite(np.asarray(t, np.float32)).all()
-    return f"fwd rel {diff:.1e}, vjp finite  [B,S,D]=[1,2048,1024] H=16"
+
+    # Fused Pallas backward vs the einsum backward, compiled on-chip.
+    do = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32
+                     ).astype(jnp.bfloat16)
+    gk = A.mha_packed_bwd_pallas(q, k, v, do, H)
+    qh, kh, vh = (A._split_heads(t, H) for t in (q, k, v))
+    ge = A._mha_bwd((qh, kh, vh), A._split_heads(do, H))
+    merge = lambda t: t.transpose(0, 2, 1, 3).reshape(B, S, D)  # noqa: E731
+    bdiffs = []
+    for a, b in zip(gk, (merge(x) for x in ge)):
+        an, bn = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        bdiffs.append(np.abs(an - bn).max() / max(np.abs(bn).max(), 1e-6))
+    assert max(bdiffs) < 2e-2, f"fused bwd rel diffs {bdiffs}"
+    return (f"fwd rel {diff:.1e}, fused bwd rel {max(bdiffs):.1e}  "
+            "[B,S,D]=[1,2048,1024] H=16")
 
 
 def check_knn_binned():
