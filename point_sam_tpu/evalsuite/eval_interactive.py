@@ -204,6 +204,17 @@ class InteractiveEvaluator:
             emb, pc_pe, *extras = model.apply(
                 variables, coords, feats, geom, method=model.encode
             )
+            if type(model).__name__ == "PointCloudSAM":
+                # Cache the click-invariant half of the mask-prompt grouping
+                # once per scene; the clicks-1 mask-conditioned decodes below
+                # then gather only the logit channel (prompt_encoder.
+                # mask_group_rel_xyz). Flagship MaskEncoder has radius=None.
+                from ..models.prompt_encoder import mask_group_rel_xyz
+
+                geom = dict(geom)
+                geom["mask_rel_xyz"] = mask_group_rel_xyz(
+                    coords, geom["centers"], geom["knn_idx"]
+                )
             B, M, N = gt_masks.shape
             BM = B * M
             buf_c = jnp.zeros((BM, clicks, 3), jnp.float32)

@@ -30,7 +30,7 @@ from flax import linen as nn
 from ..ops import batch_index_select, sample_prompts, sample_prompts_random
 from .mask_decoder import MaskDecoder
 from .pc_encoder import PatchEmbed, PointCloudEncoder
-from .prompt_encoder import MaskEncoder, PointEncoder
+from .prompt_encoder import MaskEncoder, PointEncoder, mask_group_rel_xyz
 from .tokenizer import TokenizerConfig, compute_geometry
 from .vit import ViTConfig, get_vit_config
 
@@ -208,7 +208,8 @@ class PointCloudSAM(nn.Module):
         """
         sparse = self.point_encoder(prompt_coords, prompt_labels)
         dense = self.mask_encoder(
-            prompt_masks, coords, geom["centers"], geom["knn_idx"]
+            prompt_masks, coords, geom["centers"], geom["knn_idx"],
+            rel_xyz=geom.get("mask_rel_xyz"),
         )
         return self.mask_decoder(
             pc_embeddings,
@@ -294,6 +295,14 @@ class PointCloudSAM(nn.Module):
                                 point_valid=point_valid)
         pc_embeddings, pc_pe = self.encode(
             coords, features, geom, deterministic=is_eval
+        )
+        # The mask prompt encoder regroups neighbor rel-coords every click
+        # iteration in the reference (prompt_encoder.py:114-121); they are
+        # geometry-only, so compute them once for all prompt_iters decodes.
+        geom = dict(geom)
+        geom["mask_rel_xyz"] = mask_group_rel_xyz(
+            coords, geom["centers"], geom["knn_idx"],
+            radius=self.mask_encoder.radius,
         )
         return _click_loop(
             self, pc_embeddings, pc_pe, coords, geom, gt_masks,

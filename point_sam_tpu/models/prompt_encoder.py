@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import group_points, scatter_max
+from ..ops import (
+    batch_index_select,
+    group_features,
+    group_points,
+    repeat_interleave,
+    scatter_max,
+)
 from .patch_encoder import PatchEncoder
 
 Dtype = Any
@@ -100,19 +106,47 @@ class MaskEncoder(nn.Module):
         coords: jnp.ndarray,
         centers: jnp.ndarray,
         knn_idx: jnp.ndarray,
+        rel_xyz: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """masks [B*M, N] logits (or None), coords [B, N, 3], centers [B, L, 3],
-        knn_idx [B, L, K] -> dense embeddings [B*M or B, L, D]."""
+        knn_idx [B, L, K] -> dense embeddings [B*M or B, L, D].
+
+        rel_xyz: optional cached [B, L, K, 3] grouped relative coordinates
+        from ``mask_group_rel_xyz`` — they are click-iteration-invariant
+        (the reference regroups them every refinement pass,
+        prompt_encoder.py:114-121), so callers that decode repeatedly against
+        one geometry (the training click loop, the serving predictor) compute
+        them once and each iteration gathers only the 1 logit channel.
+        Bit-identical output either way.
+        """
         if masks is None:
             B, L = centers.shape[:2]
             return jnp.broadcast_to(
                 self.no_mask_embed.astype(self.dtype), (B, L, self.embed_dim)
             )
         masks = jax.lax.stop_gradient(masks)  # reference detaches (:122)
-        patches = group_points(
-            coords, masks[..., None], centers, knn_idx, radius=self.radius
-        )  # [B*M, L, K, 4]
+        if rel_xyz is None:
+            patches = group_points(
+                coords, masks[..., None], centers, knn_idx, radius=self.radius
+            )  # [B*M, L, K, 4]
+        else:
+            logit = group_features(masks[..., None], knn_idx)  # [B*M, L, K, 1]
+            nbr = repeat_interleave(
+                rel_xyz, masks.shape[0] // coords.shape[0], axis=0
+            )
+            patches = jnp.concatenate([nbr, logit.astype(nbr.dtype)], axis=-1)
         return self.patch_encoder(patches)
+
+
+def mask_group_rel_xyz(coords, centers, knn_idx, radius=None):
+    """Click-iteration-invariant half of the mask-prompt grouping: the
+    (radius-normalized) relative coordinates of each center's K neighbors,
+    [B, L, K, 3]. Parameter-free; computed identically to group_points'
+    xyz branch so cached and uncached MaskEncoder outputs are bit-equal."""
+    nbr = batch_index_select(coords, knn_idx, axis=1) - centers[:, :, None, :]
+    if radius is not None:
+        nbr = nbr / radius
+    return nbr
 
 
 class MaskEncoderHier(nn.Module):

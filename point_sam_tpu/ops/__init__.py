@@ -8,6 +8,7 @@ from .distance import sq_dist, sq_dist_to_point
 from .fps import fps, fps_gather, fps_xla
 from .group import (
     batch_index_select,
+    group_features,
     group_points,
     group_voronoi,
     repeat_interleave,
@@ -32,6 +33,7 @@ __all__ = [
     "fps_gather",
     "fps_xla",
     "batch_index_select",
+    "group_features",
     "group_points",
     "group_voronoi",
     "repeat_interleave",

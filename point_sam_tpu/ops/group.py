@@ -132,6 +132,32 @@ def group_points(
     return jnp.concatenate(parts, axis=-1)
 
 
+def group_features(
+    features: jnp.ndarray, knn_idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather [B*M, N, C] features into [B*M, G, K, C] patch groups whose
+    geometry (knn_idx [B, G, K]) is shared across the M replicas.
+
+    The feature-only half of ``group_points``: used when the relative
+    coordinates are already cached across click iterations (they depend only
+    on the tokenizer geometry — see prompt_encoder.mask_group_rel_xyz). The
+    M replicas fold into the channel axis so the (slow) TPU gather runs once
+    over [B, N, M*C], same as group_points' repeats>1 path.
+    """
+    B, G, K = knn_idx.shape
+    BM, N, C = features.shape
+    assert BM % B == 0, (BM, B)
+    repeats = BM // B
+    if repeats == 1:
+        return batch_index_select(features, knn_idx, axis=1)
+    feats_ch = jnp.moveaxis(features.reshape(B, repeats, N, C), 1, 2).reshape(
+        B, N, repeats * C
+    )
+    nbr = batch_index_select(feats_ch, knn_idx, axis=1)  # [B, G, K, M*C]
+    nbr = nbr.reshape(B, G, K, repeats, C)
+    return jnp.moveaxis(nbr, 3, 1).reshape(BM, G, K, C)
+
+
 def batch_index_select_repeated(
     features: jnp.ndarray, idx: jnp.ndarray, repeats: int
 ) -> jnp.ndarray:

@@ -174,11 +174,24 @@ class Predictor:
                     base_tok, "centralize_features", False),
             )
 
+        from ..models.pc_sam import PointCloudSAM
+        from ..models.prompt_encoder import mask_group_rel_xyz
+
         @jax.jit
         def encode(variables, coords, feats, valid):
             geom = self.model.make_geometry(
                 coords, point_valid=valid, tokenizer=tok
             )
+            if type(self.model) is PointCloudSAM:
+                # Pre-gather the click-invariant half of the mask-prompt
+                # grouping once per cloud; every subsequent predict_masks
+                # with a prompt_mask then gathers only the 1 logit channel
+                # (see prompt_encoder.mask_group_rel_xyz). Flagship
+                # MaskEncoder is built without a radius (pc_sam.py setup).
+                geom = dict(geom)
+                geom["mask_rel_xyz"] = mask_group_rel_xyz(
+                    coords, geom["centers"], geom["knn_idx"]
+                )
             out = self.model.apply(
                 variables, coords, feats, geom, method=self.model.encode
             )

@@ -113,6 +113,31 @@ class TestPromptEncoder:
         flat = jax.tree_util.tree_leaves_with_path(vars_["params"])
         assert not any("gaussian" in jax.tree_util.keystr(p) for p, _ in flat)
 
+    def test_mask_encoder_cached_rel_xyz_bit_equal(self, rng):
+        """The cached click-invariant grouping path (mask_group_rel_xyz +
+        logit-only gather) must be bit-identical to the full group_points
+        path the reference uses every iteration (prompt_encoder.py:114-121)."""
+        from point_sam_tpu.models.prompt_encoder import (
+            MaskEncoder,
+            mask_group_rel_xyz,
+        )
+
+        B, M, N, L, K, D = 2, 3, 64, 8, 16, 32
+        coords = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+        centers = coords[:, :L]
+        knn_idx = jnp.asarray(rng.integers(0, N, (B, L, K)))
+        masks = jnp.asarray(rng.standard_normal((B * M, N)), jnp.float32)
+        enc = MaskEncoder(embed_dim=D)
+        vars_ = enc.init(jax.random.PRNGKey(0), masks, coords, centers,
+                         knn_idx)
+        ref = enc.apply(vars_, masks, coords, centers, knn_idx)
+        cached = enc.apply(
+            vars_, masks, coords, centers, knn_idx,
+            rel_xyz=mask_group_rel_xyz(coords, centers, knn_idx),
+        )
+        assert ref.shape == (B * M, L, D)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(cached))
+
     def test_pe_in_range(self, rng):
         layer = models.PositionEmbeddingRandom(num_pos_feats=16)
         coords = jnp.asarray(rng.uniform(-1, 1, (5, 3)), jnp.float32)
