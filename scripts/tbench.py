@@ -235,6 +235,40 @@ def main():
 
     timed_dispatch("decode_vjp", lambda: dec_vjp_call)
 
+    # ---- mask encoder fwd with the cached rel-xyz (round-3: the click
+    # loop now gathers only the logit channel per iteration; compare
+    # against mask_enc_fwd to see the grouping share)
+    from point_sam_tpu.models.prompt_encoder import mask_group_rel_xyz
+
+    rel0 = jax.jit(mask_group_rel_xyz)(
+        batches[0]["coords"], geom0["centers"], geom0["knn_idx"])
+    jax.block_until_ready(rel0)
+
+    def me_cached_apply(p, bufs, m, coords, centers, knn_idx, rel):
+        out = model5.apply(
+            {"params": p, **bufs}, m, coords, centers, knn_idx, rel,
+            method=lambda mod, a, b, c, d, r: mod.mask_encoder(
+                a, b, c, d, rel_xyz=r))
+        return jnp.sum(jnp.abs(out).astype(jnp.float32))
+
+    me_cfwd = jax.jit(me_cached_apply)
+
+    def me_cfwd_call(i):
+        return float(me_cfwd(params, buffers, masks_in[i],
+                             batches[0]["coords"], geom0["centers"],
+                             geom0["knn_idx"], rel0))
+
+    timed_dispatch("mask_enc_fwd_cached", lambda: me_cfwd_call)
+
+    me_cvjp = jax.jit(jax.value_and_grad(me_cached_apply))
+
+    def me_cvjp_call(i):
+        l, g = me_cvjp(params, buffers, masks_in[i], batches[0]["coords"],
+                       geom0["centers"], geom0["knn_idx"], rel0)
+        return float(l) + float(jax.tree_util.tree_leaves(g)[0].ravel()[0])
+
+    timed_dispatch("mask_enc_vjp_cached", lambda: me_cvjp_call)
+
     # ---- sampler x5
     @jax.jit
     def samp5(coords, gt, pm):
