@@ -30,7 +30,13 @@ from .layers import MLP, LayerNorm
 from .mask_decoder import MaskDecoder
 from .pc_sam import _click_loop
 from .pc_encoder import PatchEmbedHier, PatchEmbedNN, PointCloudEncoder
-from .prompt_encoder import MaskEncoderHier, MaskEncoderNN, PointEncoder
+from .prompt_encoder import (
+    MaskEncoderHier,
+    MaskEncoderNN,
+    PointEncoder,
+    mask_group_rel_xyz,
+    mask_nbr_dist,
+)
 from .tokenizer import (
     HierTokenizerConfig,
     compute_geometry_hier,
@@ -110,6 +116,7 @@ class PointCloudSAMNN(nn.Module):
         dense = self.mask_encoder(
             prompt_masks, coords, geom["centers"], geom["nn_idx"],
             geom.get("point_valid"),
+            nbr_dist=geom.get("mask_nbr_dist"),
         )
         return self.mask_decoder(
             pc_embeddings, pc_pe, sparse, dense,
@@ -158,6 +165,12 @@ class PointCloudSAMNN(nn.Module):
         )
         pc_embeddings, pc_pe = self.encode(
             coords, features, geom, deterministic=is_eval
+        )
+        # Iteration-invariant mask-prompt features, computed once for all
+        # prompt_iters decodes (see prompt_encoder.mask_nbr_dist).
+        geom = dict(geom)
+        geom["mask_nbr_dist"] = mask_nbr_dist(
+            coords, geom["centers"], geom["nn_idx"]
         )
         return _click_loop(
             self, pc_embeddings, pc_pe, coords, geom, gt_masks,
@@ -338,6 +351,8 @@ class PointCloudSAMHier(nn.Module):
         _, dense = self.mask_encoder(
             prompt_masks, coords, geom["centers1"], geom["knn_idx1"],
             geom["centers2"], geom["knn_idx2"],
+            rel_xyz1=geom.get("mask_rel_xyz1"),
+            rel_xyz2=geom.get("mask_rel_xyz2"),
         )
         return self.mask_decoder(
             pc_embeddings, pc_pe, sparse, dense,
@@ -384,6 +399,19 @@ class PointCloudSAMHier(nn.Module):
         )
         pc_embeddings, pc_pe, x1 = self.encode(
             coords, features, geom, deterministic=is_eval
+        )
+        # Iteration-invariant halves of the two-level mask-prompt grouping,
+        # computed once for all prompt_iters decodes (see
+        # prompt_encoder.mask_group_rel_xyz).
+        r = self.mask_encoder.radius
+        geom = dict(geom)
+        geom["mask_rel_xyz1"] = mask_group_rel_xyz(
+            coords, geom["centers1"], geom["knn_idx1"],
+            radius=r[0] if r else None,
+        )
+        geom["mask_rel_xyz2"] = mask_group_rel_xyz(
+            geom["centers1"], geom["centers2"], geom["knn_idx2"],
+            radius=r[1] if r else None,
         )
         return _click_loop(
             self, pc_embeddings, pc_pe, coords, geom, gt_masks,

@@ -166,7 +166,14 @@ class MaskEncoderHier(nn.Module):
             jnp.float32,
         )
 
-    def __call__(self, masks, coords, centers1, knn_idx1, centers2, knn_idx2):
+    def __call__(self, masks, coords, centers1, knn_idx1, centers2, knn_idx2,
+                 rel_xyz1=None, rel_xyz2=None):
+        """rel_xyz1/rel_xyz2: optional cached [B, G_l, K_l, 3] grouped
+        relative coordinates per level (``mask_group_rel_xyz``) — both are
+        click-iteration-invariant (the reference regroups them every
+        refinement pass, prompt_encoder.py:158-176), so repeated decodes
+        against one geometry gather only the mask-dependent channels.
+        Bit-identical output either way."""
         if masks is None:
             B, L = centers2.shape[:2]
             return None, jnp.broadcast_to(
@@ -174,16 +181,47 @@ class MaskEncoderHier(nn.Module):
             )
         masks = jax.lax.stop_gradient(masks)
         r = self.radius
-        p1 = group_points(
-            coords, masks[..., None], centers1, knn_idx1,
-            radius=r[0] if r else None,
-        )
+        if rel_xyz1 is None:
+            p1 = group_points(
+                coords, masks[..., None], centers1, knn_idx1,
+                radius=r[0] if r else None,
+            )
+        else:
+            logit = group_features(masks[..., None], knn_idx1)
+            nbr = repeat_interleave(
+                rel_xyz1, masks.shape[0] // coords.shape[0], axis=0
+            )
+            p1 = jnp.concatenate([nbr, logit.astype(nbr.dtype)], axis=-1)
         x1 = self.patch_encoder1(p1)  # [B*M, G1, 128]
-        p2 = group_points(
-            centers1, x1, centers2, knn_idx2, radius=r[1] if r else None
-        )
+        if rel_xyz2 is None:
+            p2 = group_points(
+                centers1, x1, centers2, knn_idx2, radius=r[1] if r else None
+            )
+        else:
+            feats = group_features(x1, knn_idx2)  # [B*M, G2, K2, 128]
+            nbr2 = repeat_interleave(
+                rel_xyz2, x1.shape[0] // centers1.shape[0], axis=0
+            )
+            # concat in the rel-xyz dtype (fp32): group_points' concat
+            # promotes [nbr_xyz f32 | feats] the same way — bit-equal.
+            p2 = jnp.concatenate(
+                [nbr2, feats.astype(nbr2.dtype)], axis=-1
+            )
         x2 = self.patch_encoder2(p2)  # [B*M, G2, D]
         return x1, x2
+
+
+def mask_nbr_dist(coords, centers, nn_idx):
+    """Click-iteration-invariant half of the voronoi mask-prompt features:
+    per-point offset to the assigned center and its norm
+    ([B, N, 3], [B, N, 1]). Parameter-free; computed identically to
+    MaskEncoderNN's inline branch so cached and uncached outputs are
+    bit-equal."""
+    from ..ops import batch_index_select
+
+    nbr = coords - batch_index_select(centers, nn_idx, axis=1)
+    dist = jnp.linalg.norm(nbr, axis=-1, keepdims=True)
+    return nbr, dist
 
 
 class MaskEncoderNN(nn.Module):
@@ -197,10 +235,16 @@ class MaskEncoderNN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, masks, coords, centers, nn_idx, point_valid=None):
+    def __call__(self, masks, coords, centers, nn_idx, point_valid=None,
+                 nbr_dist=None):
         """masks [B*M, N] logits or None; coords [B, N, 3]; centers [B, L, 3];
         nn_idx [B, N] voronoi assignment; point_valid [B, N] padding mask
-        (padded points are excluded from the per-cell max)."""
+        (padded points are excluded from the per-cell max).
+
+        nbr_dist: optional cached (nbr [B, N, 3], dist [B, N, 1]) from
+        ``mask_nbr_dist`` — click-iteration-invariant (the reference
+        recomputes them every refinement pass, prompt_encoder.py:264-270);
+        bit-identical output either way."""
         no_mask_embed = self.param(
             "no_mask_embed", nn.initializers.normal(1.0), (self.embed_dim,),
             jnp.float32,
@@ -211,11 +255,12 @@ class MaskEncoderNN(nn.Module):
                 no_mask_embed.astype(self.dtype), (B, L, self.embed_dim)
             )
         masks = jax.lax.stop_gradient(masks)
-        from ..ops import batch_index_select, repeat_interleave
+        from ..ops import repeat_interleave
 
         repeats = masks.shape[0] // coords.shape[0]
-        nbr = coords - batch_index_select(centers, nn_idx, axis=1)
-        dist = jnp.linalg.norm(nbr, axis=-1, keepdims=True)
+        if nbr_dist is None:
+            nbr_dist = mask_nbr_dist(coords, centers, nn_idx)
+        nbr, dist = nbr_dist
         if repeats > 1:
             nbr = repeat_interleave(nbr, repeats, axis=0)
             dist = repeat_interleave(dist, repeats, axis=0)

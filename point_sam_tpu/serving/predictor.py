@@ -175,22 +175,37 @@ class Predictor:
             )
 
         from ..models.pc_sam import PointCloudSAM
-        from ..models.prompt_encoder import mask_group_rel_xyz
+        from ..models.pc_sam_variants import PointCloudSAMHier, PointCloudSAMNN
+        from ..models.prompt_encoder import mask_group_rel_xyz, mask_nbr_dist
 
         @jax.jit
         def encode(variables, coords, feats, valid):
             geom = self.model.make_geometry(
                 coords, point_valid=valid, tokenizer=tok
             )
+            # Pre-compute the click-invariant half of the mask-prompt
+            # grouping once per cloud; every subsequent predict_masks with
+            # a prompt_mask then gathers only the mask-dependent channels
+            # (see prompt_encoder.mask_group_rel_xyz / mask_nbr_dist).
+            geom = dict(geom)
             if type(self.model) is PointCloudSAM:
-                # Pre-gather the click-invariant half of the mask-prompt
-                # grouping once per cloud; every subsequent predict_masks
-                # with a prompt_mask then gathers only the 1 logit channel
-                # (see prompt_encoder.mask_group_rel_xyz). Flagship
-                # MaskEncoder is built without a radius (pc_sam.py setup).
-                geom = dict(geom)
+                # Flagship MaskEncoder is built without a radius.
                 geom["mask_rel_xyz"] = mask_group_rel_xyz(
                     coords, geom["centers"], geom["knn_idx"]
+                )
+            elif type(self.model) is PointCloudSAMNN:
+                geom["mask_nbr_dist"] = mask_nbr_dist(
+                    coords, geom["centers"], geom["nn_idx"]
+                )
+            elif type(self.model) is PointCloudSAMHier:
+                r = getattr(tok, "radius", None)
+                geom["mask_rel_xyz1"] = mask_group_rel_xyz(
+                    coords, geom["centers1"], geom["knn_idx1"],
+                    radius=r[0] if r else None,
+                )
+                geom["mask_rel_xyz2"] = mask_group_rel_xyz(
+                    geom["centers1"], geom["centers2"], geom["knn_idx2"],
+                    radius=r[1] if r else None,
                 )
             out = self.model.apply(
                 variables, coords, feats, geom, method=self.model.encode

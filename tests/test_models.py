@@ -138,6 +138,56 @@ class TestPromptEncoder:
         assert ref.shape == (B * M, L, D)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(cached))
 
+    def test_mask_encoder_hier_cached_rel_xyz_bit_equal(self, rng):
+        """Two-level cached grouping path vs the reference full-regroup
+        (prompt_encoder.py:158-176) — must be bit-identical."""
+        from point_sam_tpu.models.prompt_encoder import (
+            MaskEncoderHier,
+            mask_group_rel_xyz,
+        )
+
+        B, M, N, G1, K1, G2, K2 = 2, 2, 64, 16, 8, 4, 4
+        r = (0.2, 0.6)
+        coords = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+        c1 = coords[:, :G1]
+        c2 = coords[:, :G2]
+        idx1 = jnp.asarray(rng.integers(0, N, (B, G1, K1)))
+        idx2 = jnp.asarray(rng.integers(0, G1, (B, G2, K2)))
+        masks = jnp.asarray(rng.standard_normal((B * M, N)), jnp.float32)
+        enc = MaskEncoderHier(embed_dim=32, radius=r)
+        vars_ = enc.init(jax.random.PRNGKey(0), masks, coords, c1, idx1,
+                         c2, idx2)
+        ref1, ref2 = enc.apply(vars_, masks, coords, c1, idx1, c2, idx2)
+        got1, got2 = enc.apply(
+            vars_, masks, coords, c1, idx1, c2, idx2,
+            rel_xyz1=mask_group_rel_xyz(coords, c1, idx1, radius=r[0]),
+            rel_xyz2=mask_group_rel_xyz(c1, c2, idx2, radius=r[1]),
+        )
+        np.testing.assert_array_equal(np.asarray(ref1), np.asarray(got1))
+        np.testing.assert_array_equal(np.asarray(ref2), np.asarray(got2))
+
+    def test_mask_encoder_nn_cached_nbr_dist_bit_equal(self, rng):
+        """Voronoi cached per-point offsets vs the inline recompute
+        (reference prompt_encoder.py:264-270) — must be bit-identical."""
+        from point_sam_tpu.models.prompt_encoder import (
+            MaskEncoderNN,
+            mask_nbr_dist,
+        )
+
+        B, M, N, L = 2, 2, 64, 8
+        coords = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+        centers = coords[:, :L]
+        nn_idx = jnp.asarray(rng.integers(0, L, (B, N)))
+        masks = jnp.asarray(rng.standard_normal((B * M, N)), jnp.float32)
+        valid = jnp.asarray(rng.random((B, N)) < 0.9)
+        enc = MaskEncoderNN(embed_dim=32, num_patches=L, hidden_dim=64)
+        vars_ = enc.init(jax.random.PRNGKey(0), masks, coords, centers,
+                         nn_idx, valid)
+        ref = enc.apply(vars_, masks, coords, centers, nn_idx, valid)
+        got = enc.apply(vars_, masks, coords, centers, nn_idx, valid,
+                        nbr_dist=mask_nbr_dist(coords, centers, nn_idx))
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
     def test_pe_in_range(self, rng):
         layer = models.PositionEmbeddingRandom(num_pos_feats=16)
         coords = jnp.asarray(rng.uniform(-1, 1, (5, 3)), jnp.float32)
