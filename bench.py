@@ -90,11 +90,22 @@ def main():
     state_path = os.environ.get("BENCH_STATE", "/tmp/bench_state.json")
     if small:
         state_path += ".small"
+    # Bump when the timing METHODOLOGY changes (e.g. the r3 floor
+    # subtraction): resuming a state file written under a different
+    # methodology would silently mix incompatible numbers in one report —
+    # exactly the "compare only same-methodology deltas" trap.
+    METHODOLOGY = "r3-floor-subtracted-v2"
     try:
         with open(state_path) as f:
             state = json.load(f)
+        if state.get("_methodology") != METHODOLOGY:
+            print(f"# discarding stale bench state ({state_path}): "
+                  f"methodology {state.get('_methodology')!r} != "
+                  f"{METHODOLOGY!r}", flush=True)
+            state = {}
     except Exception:
         state = {}
+    state["_methodology"] = METHODOLOGY
 
     def stage(key, fn):
         if key not in state:

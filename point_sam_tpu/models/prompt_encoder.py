@@ -217,8 +217,6 @@ def mask_nbr_dist(coords, centers, nn_idx):
     ([B, N, 3], [B, N, 1]). Parameter-free; computed identically to
     MaskEncoderNN's inline branch so cached and uncached outputs are
     bit-equal."""
-    from ..ops import batch_index_select
-
     nbr = coords - batch_index_select(centers, nn_idx, axis=1)
     dist = jnp.linalg.norm(nbr, axis=-1, keepdims=True)
     return nbr, dist
@@ -255,8 +253,6 @@ class MaskEncoderNN(nn.Module):
                 no_mask_embed.astype(self.dtype), (B, L, self.embed_dim)
             )
         masks = jax.lax.stop_gradient(masks)
-        from ..ops import repeat_interleave
-
         repeats = masks.shape[0] // coords.shape[0]
         if nbr_dist is None:
             nbr_dist = mask_nbr_dist(coords, centers, nn_idx)

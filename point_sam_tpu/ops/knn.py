@@ -115,15 +115,20 @@ def _approx_knn(query, key, k, key_valid, *, recall_target: float,
     faster than a query-tiled scan at 2048 x 100k). Falls back to query
     tiling only for enormous problems.
 
-    On TPU the distance stream runs in BF16 with a compensated internal
-    recall target: the fused distance+partial-reduce is the dominant cost
-    of this path and bf16 cuts it ~35% (5.9 -> 4.1 ms at 2048 x 100k x 256,
-    round-3 measurement), while the ~2^-9 relative distance noise costs a
-    little neighbor recall. Measured on uniform clouds: f32@rt0.9 = 0.961
-    set recall, bf16@rt0.9 = 0.944, bf16@rt0.95 = 0.956 — so the internal
-    target is bumped by half the remaining headroom, which restores the
-    f32 operating point within ~0.005. The approximation A/B harness
-    (evalsuite/ab_approx.py) measures this path's end-metric effect.
+    On TPU the distance stream runs with BF16 matmul inputs and a
+    compensated internal recall target: the fused distance+partial-reduce
+    is the dominant cost of this path and bf16 cuts it ~35% (5.9 -> 4.1 ms
+    at 2048 x 100k x 256, round-3 measurement), while coordinate rounding
+    costs a little neighbor recall. The q^2-2qk+k^2 COMBINATION stays in
+    fp32 (see ``dist`` below): bf16 arithmetic there suffers catastrophic
+    cancellation (~4e-3 absolute noise vs ~1e-3 nearest-neighbor squared
+    distances). Measured on uniform clouds (full-bf16 variant): f32@rt0.9
+    = 0.961 set recall, bf16@rt0.9 = 0.944, bf16@rt0.95 = 0.956 — the
+    internal target is bumped by half the remaining headroom, which
+    restores the f32 operating point; fp32 combination only improves
+    recall at fixed rt_eff, so the bump stays conservative. The
+    approximation A/B harness (evalsuite/ab_approx.py) measures this
+    path's end-metric effect.
     """
     nq = query.shape[-2]
     nk = key.shape[-2]
@@ -132,11 +137,28 @@ def _approx_knn(query, key, k, key_valid, *, recall_target: float,
         rt_eff = min(0.999, recall_target + 0.5 * (1.0 - recall_target))
         key = key.astype(jnp.bfloat16)
         query = query.astype(jnp.bfloat16)
+
+        def dist(q):
+            # bf16 matmul INPUTS, fp32 combination: the cross-term matmul
+            # runs at bf16 MXU rate, but the cancellation-prone
+            # q^2 - 2qk + k^2 combination stays in fp32 — doing it in bf16
+            # adds ~|q|^2 * 2^-9 ~ 4e-3 absolute noise, larger than typical
+            # nearest-neighbor squared distances (~1e-3) at N=100k in the
+            # unit ball. Residual error is only the coordinate rounding.
+            q2 = jnp.sum(jnp.square(q.astype(jnp.float32)), -1,
+                         keepdims=True)
+            k2 = jnp.sum(jnp.square(key.astype(jnp.float32)), -1,
+                         keepdims=True)
+            qk = jnp.einsum("...nd,...md->...nm", q, key,
+                            preferred_element_type=jnp.float32)
+            return jnp.maximum(
+                q2 - 2.0 * qk + jnp.swapaxes(k2, -1, -2), 0.0)
     else:
         rt_eff = recall_target
+        dist = lambda q: sq_dist(q, key)
 
     def one_shot(q):
-        d2 = sq_dist(q, key)
+        d2 = dist(q)
         if key_valid is not None:
             d2 = jnp.where(key_valid[..., None, :], d2, _INF)
         d, i = jax.lax.approx_min_k(d2, k, recall_target=rt_eff)

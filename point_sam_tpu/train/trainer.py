@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from collections import defaultdict
 from pathlib import Path
@@ -36,6 +37,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+
+    if os.environ.get("PSAM_CPU") == "1":
+        # Debug/smoke path: the axon sitecustomize overrides JAX_PLATFORMS,
+        # so force the CPU backend via config (CLAUDE.md gotchas; same hook
+        # as bench.py's BENCH_CPU).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ..datasets.build import BatchIterator, build_dataset
@@ -162,7 +169,8 @@ def main(argv=None):
             host_vars, _ = _load_pretrained(ckpt_path, host_vars)
             params = host_vars["params"]
             buffers = {k: v for k, v in host_vars.items() if k != "params"}
-            print(f"initialized from {ckpt_path}")
+            if main_proc:
+                print(f"initialized from {ckpt_path}")
         state = TrainState.create(params, buffers, tx)
         state_host = state
         state = replicate(state, mesh)
@@ -198,18 +206,21 @@ def main(argv=None):
     start_epoch, global_step = 0, 0
     latest = ckpt_mgr.latest_step()
     if latest is not None:
-        restored = ckpt_mgr.restore(
-            latest, args=ocp.args.StandardRestore(jax.device_get(state))
+        # Abstract template with the LIVE state's shardings: orbax restores
+        # each leaf directly to its sharded global placement (each process
+        # reads only its shards). A jax.device_get(state) template would
+        # crash on multi-host FSDP (non-addressable shards) and stage the
+        # full state on host.
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding), state)
+        state = ckpt_mgr.restore(
+            latest, args=ocp.args.StandardRestore(template)
         )
-        if param_sharding == "fsdp":
-            from ..parallel import fsdp_place
-
-            state = fsdp_place(restored, mesh)
-        else:
-            state = replicate(restored, mesh)
         global_step = int(jax.device_get(state.step))
         start_epoch = latest
-        print(f"resumed from epoch {latest} (global step {global_step})")
+        if main_proc:
+            print(f"resumed from epoch {latest} (global step {global_step})")
 
     # ------------------------------------------------------------ logging
     # wandb/stdout only on process 0 (Accelerate is_main_process
@@ -278,8 +289,11 @@ def main(argv=None):
                 )
 
         if (epoch + 1) % cfg.get("save_freq", 5) == 0 or global_step >= max_steps:
-            ckpt_mgr.save(epoch + 1, args=ocp.args.StandardSave(
-                jax.device_get(state)))
+            # Save the global jax.Arrays directly: orbax writes each shard
+            # from its owning process (device_get would crash on multi-host
+            # FSDP's non-addressable shards and stage the full state on
+            # host).
+            ckpt_mgr.save(epoch + 1, args=ocp.args.StandardSave(state))
             ckpt_mgr.wait_until_finished()
 
         if global_step >= max_steps:
@@ -307,8 +321,11 @@ def _load_pretrained(path: str, variables: dict):
     module = {k: v.numpy() for k, v in module.items()}
     new_vars, report = convert_uni3d({"module": module}, variables)
     n_filled = len(module) - len(report["unmapped"])
-    print(f"uni3d init: mapped {n_filled} tensors "
-          f"({len(report['unmapped'])} non-encoder keys ignored)")
+    import jax
+
+    if jax.process_index() == 0:
+        print(f"uni3d init: mapped {n_filled} tensors "
+              f"({len(report['unmapped'])} non-encoder keys ignored)")
     return new_vars, report
 
 
@@ -330,7 +347,7 @@ def _fsdp_load_pretrained(path: str, state, init_fn, init_args):
     """
     import jax
 
-    from ..utils.convert import _flatten, _unflatten
+    from ..utils.convert import _flatten
 
     var_shapes = jax.eval_shape(init_fn, *init_args)
     host_zeros = jax.tree_util.tree_map(
@@ -352,9 +369,21 @@ def _fsdp_load_pretrained(path: str, state, init_fn, init_args):
                 dev_leaf.sharding)
             n_streamed += 1
         flat_host.pop(key, None)  # bound host RSS to one copy
-    new_tree = _unflatten(out, dev_vars)
-    print(f"fsdp pretrained init: streamed {n_streamed} leaves per-shard, "
-          f"{len(unfilled)} kept random init")
+    # Rebuild the nested tree purely from the flat paths: convert._unflatten
+    # deepcopies a numpy-fied template, which would np.asarray every sharded
+    # DEVICE leaf — a full-params host staging single-host and a
+    # non-addressable-array error multi-host. `out` covers every key of
+    # `flat_dev`, so no template is needed.
+    new_tree = {}
+    for path, leaf in out.items():
+        parts = path.split("/")
+        cur = new_tree
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = leaf
+    if jax.process_index() == 0:
+        print(f"fsdp pretrained init: streamed {n_streamed} leaves "
+              f"per-shard, {len(unfilled)} kept random init")
     return state.replace(
         params=new_tree["params"],
         buffers={k: v for k, v in new_tree.items() if k != "params"},
@@ -420,10 +449,22 @@ def validate(model, state, val_iter, mesh):
 
     variables = {"params": state.params, **state.buffers}
     if jax.process_count() > 1:
-        # Global (replicated) param arrays cannot mix with the local val
-        # batches inside one jit across processes; pull them to host so the
-        # val jit is purely process-local.
-        variables = jax.device_get(variables)
+        # Global param arrays cannot mix with the local val batches inside
+        # one jit across processes; pull them to host so the val jit is
+        # purely process-local. FSDP-sharded leaves are not host-fetchable
+        # directly (non-addressable shards) — reshard each leaf to
+        # fully-replicated first (an XLA all-gather over the mesh), one
+        # leaf at a time so HBM peaks at shard + one full leaf.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(mesh, PartitionSpec())
+
+        def to_host(x):
+            if hasattr(x, "sharding") and not x.sharding.is_fully_replicated:
+                x = jax.device_put(x, replicated)
+            return jax.device_get(x)
+
+        variables = jax.tree_util.tree_map(to_host, variables)
     agg = defaultdict(list)
     for batch_np in val_iter:
         coords = jnp.asarray(batch_np["coords"])

@@ -269,13 +269,15 @@ def main():
 
     timed_dispatch("mask_enc_vjp_cached", lambda: me_cvjp_call)
 
-    # ---- sampler x5
+    # ---- sampler x5 (vary pm per step or XLA hoists the loop-invariant
+    # sampler body out of the scan and this measures ONE call)
     @jax.jit
     def samp5(coords, gt, pm):
-        def step(c, _):
-            npc, npl = sample_prompts(coords, gt, pm)
+        def step(c, i):
+            npc, npl = sample_prompts(coords, gt, pm + c + i)
             return c + jnp.sum(npc) + jnp.sum(npl), None
-        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=5)
+        c, _ = jax.lax.scan(step, jnp.float32(0),
+                            jnp.arange(5, dtype=jnp.float32))
         return c
 
     def samp_call(i):
