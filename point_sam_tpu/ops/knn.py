@@ -122,13 +122,16 @@ def _approx_knn(query, key, k, key_valid, *, recall_target: float,
     costs a little neighbor recall. The q^2-2qk+k^2 COMBINATION stays in
     fp32 (see ``dist`` below): bf16 arithmetic there suffers catastrophic
     cancellation (~4e-3 absolute noise vs ~1e-3 nearest-neighbor squared
-    distances). Measured on uniform clouds (full-bf16 variant): f32@rt0.9
-    = 0.961 set recall, bf16@rt0.9 = 0.944, bf16@rt0.95 = 0.956 — the
-    internal target is bumped by half the remaining headroom, which
-    restores the f32 operating point; fp32 combination only improves
-    recall at fixed rt_eff, so the bump stays conservative. The
-    approximation A/B harness (evalsuite/ab_approx.py) measures this
-    path's end-metric effect.
+    distances). Distance-noise-induced top-256 set recall vs exact fp32
+    (measured, 100k points, CPU bit-emulation isolating the noise from
+    approx_min_k's own recall): uniform ball full-bf16 0.932 vs
+    bf16-inputs/fp32-combination 0.991; CLUSTERED scene (64 gaussians,
+    sigma=0.02 — the realistic segmentation case) full-bf16 **0.388** vs
+    0.960 — full-bf16 arithmetic was silently broken off the uniform
+    corpus it was calibrated on. The internal recall-target bump (half
+    the remaining headroom) is kept: calibrated under the noisier model,
+    it is conservative here. The approximation A/B harness
+    (evalsuite/ab_approx.py) measures this path's end-metric effect.
     """
     nq = query.shape[-2]
     nk = key.shape[-2]
