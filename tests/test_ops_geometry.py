@@ -53,6 +53,38 @@ class TestKNN:
         _, i = ops.knn(jnp.asarray(q), jnp.asarray(k), 3, key_valid=jnp.asarray(valid))
         assert (np.asarray(i) >= 8).all()
 
+    def test_bf16_distance_combination_stays_fp32(self, rng):
+        """The approx path's bf16 distance stream must do the q^2-2qk+k^2
+        combination in fp32: bf16 arithmetic there loses ~4e-3 absolute to
+        cancellation — larger than nearest-neighbor squared distances on
+        clustered scenes, where the full-bf16 model's top-K set recall
+        collapsed to ~0.39 (knn.py docstring, round-3 measurement). This
+        regression test bit-emulates the kernel's ``dist`` on a clustered
+        cloud and asserts the mixed model stays near exact."""
+        N, G, K = 20_000, 64, 128
+        centers = rng.standard_normal((32, 3)).astype(np.float32) * 0.5
+        pts = centers[rng.integers(0, 32, N)] + \
+            rng.standard_normal((N, 3)).astype(np.float32) * 0.02
+        pts /= np.abs(pts).max()
+        q32 = jnp.asarray(pts[rng.choice(N, G, replace=False)])
+        k32 = jnp.asarray(pts)
+        qb, kb = q32.astype(jnp.bfloat16), k32.astype(jnp.bfloat16)
+
+        d_ref = np.asarray(ops.sq_dist(q32, k32))
+        # the kernel's mixed model (ops/knn.py::_approx_knn dist)
+        q2 = jnp.sum(jnp.square(qb.astype(jnp.float32)), -1, keepdims=True)
+        k2 = jnp.sum(jnp.square(kb.astype(jnp.float32)), -1, keepdims=True)
+        qk = jnp.einsum("nd,md->nm", qb, kb,
+                        preferred_element_type=jnp.float32)
+        d_mixed = np.asarray(jnp.maximum(q2 - 2.0 * qk + k2.T, 0.0))
+
+        ref_i = np.argsort(d_ref, axis=-1)[:, :K]
+        mix_i = np.argsort(d_mixed, axis=-1)[:, :K]
+        recall = np.mean([
+            len(np.intersect1d(ref_i[g], mix_i[g])) / K for g in range(G)
+        ])
+        assert recall >= 0.93, recall
+
     def test_blocked_equals_dense(self, rng):
         q = rng.standard_normal((2, 16, 3), dtype=np.float32)
         k = rng.standard_normal((2, 500, 3), dtype=np.float32)
