@@ -301,8 +301,17 @@ def check_knn_binned():
     import jax.numpy as jnp
 
     from point_sam_tpu.ops.knn import knn
-    from point_sam_tpu.ops.knn_pallas import (
-        binned_dispatch_ok, knn_binned_pallas)
+
+    try:
+        from point_sam_tpu.ops.knn_pallas import (
+            binned_dispatch_ok, knn_binned_pallas)
+    except ImportError:
+        # The binned-kNN kernel was measured SLOWER than the stock
+        # approx_min_k fused stream (11-12 ms vs 5.9 at equal recall; see
+        # PARITY.md "Perf notes (round 3)") and removed; the gate stays so
+        # the check reactivates if the kernel ever returns.
+        return ("SKIPPED (ops.knn_pallas removed — measured dead end, "
+                "approx_min_k path ships; PARITY.md r3 notes)")
 
     if not binned_dispatch_ok(2048, 100_000, 256):
         # Crash, not a clean failure, when force-compiled (see the gate's
