@@ -38,6 +38,11 @@ def _spawn(pid, nproc, port, out, n_local_devices):
     )
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("JAX_COORDINATOR_ADDRESS", None)
+    # The worker must import point_sam_tpu even when the package is not
+    # pip-installed in the environment (fresh boxes run tests straight
+    # from the checkout; the parent process gets the path via conftest).
+    env["PYTHONPATH"] = str(REPO) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     return subprocess.Popen(
         [sys.executable, str(WORKER), str(pid), str(nproc), str(port),
          str(out)],
