@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sq_dist(query: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+def sq_dist(query: jnp.ndarray, key: jnp.ndarray, *,
+            precision: str = "highest") -> jnp.ndarray:
     """Squared Euclidean distance matrix via the |q|^2 - 2qk + |k|^2 expansion.
 
     The cross term is a matmul, which XLA maps onto the MXU; this is the
@@ -22,6 +23,17 @@ def sq_dist(query: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
     Args:
         query: [..., Nq, D] float array.
         key: [..., Nk, D] float array.
+        precision: matmul precision for the cross term. The "highest"
+            default is the geometry convention (exact fp32 — neighbor
+            selection and farthest-point argmaxes are rank-sensitive).
+            "high" (bf16x3 passes, ~2^-22 error) is measured
+            rank-equivalent at the flagship kNN shape and 1.5x faster; the
+            approx-kNN path opts into it (see ops/knn.py::_approx_knn).
+            NEVER pass "default" for geometry: on TPU it truncates the
+            inputs to bf16 in the MXU, which collapses clustered-scene
+            top-256 neighbor recall to ~0.51 at 2048x100k (on-chip
+            measurement, round 3 — shape-dependent: small shapes lower to
+            exact VPU code and hide the damage).
 
     Returns:
         [..., Nq, Nk] squared distances, clamped to >= 0 (the expansion can
@@ -29,13 +41,11 @@ def sq_dist(query: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
     """
     q2 = jnp.sum(jnp.square(query), axis=-1, keepdims=True)  # [..., Nq, 1]
     k2 = jnp.sum(jnp.square(key), axis=-1, keepdims=True)  # [..., Nk, 1]
-    # precision="highest": geometry must be exact fp32 — neighbor selection
-    # and farthest-point argmaxes are sensitive to low-precision matmul.
     qk = jnp.einsum(
         "...nd,...md->...nm",
         query,
         key,
-        precision="highest",
+        precision=precision,
         preferred_element_type=query.dtype,
     )
     d2 = q2 - 2.0 * qk + jnp.swapaxes(k2, -1, -2)

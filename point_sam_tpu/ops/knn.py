@@ -115,56 +115,50 @@ def _approx_knn(query, key, k, key_valid, *, recall_target: float,
     faster than a query-tiled scan at 2048 x 100k). Falls back to query
     tiling only for enormous problems.
 
-    On TPU the distance stream runs with BF16 matmul inputs and a
-    compensated internal recall target: the fused distance+partial-reduce
-    is the dominant cost of this path and bf16 cuts it ~35% (5.9 -> 4.1 ms
-    at 2048 x 100k x 256, round-3 measurement), while coordinate rounding
-    costs a little neighbor recall. The q^2-2qk+k^2 COMBINATION stays in
-    fp32 (see ``dist`` below): bf16 arithmetic there suffers catastrophic
-    cancellation (~4e-3 absolute noise vs ~1e-3 nearest-neighbor squared
-    distances). Distance-noise-induced top-256 set recall vs exact fp32
-    (measured, 100k points, CPU bit-emulation isolating the noise from
-    approx_min_k's own recall): uniform ball full-bf16 0.932 vs
-    bf16-inputs/fp32-combination 0.991; CLUSTERED scene (64 gaussians,
-    sigma=0.02 — the realistic segmentation case) full-bf16 **0.388** vs
-    0.960 — full-bf16 arithmetic was silently broken off the uniform
-    corpus it was calibrated on. The internal recall-target bump (half
-    the remaining headroom) is kept: calibrated under the noisier model,
-    it is conservative here. The approximation A/B harness
-    (evalsuite/ab_approx.py) measures this path's end-metric effect.
+    The distance stream runs at matmul precision "high" (bf16x3 passes)
+    and ``recall_target`` is passed to ``approx_min_k`` verbatim. The
+    round-3 on-chip calibration at the flagship shape (2048 x 100k x 256,
+    clustered cloud, v5e — scripts/kbench6.py + the precision probes):
+
+    ==========  ==========  =======================
+    precision   ms (B=1)    top-256 recall vs exact
+    ==========  ==========  =======================
+    default     1.64        0.512  (BROKEN: MXU truncates inputs to bf16)
+    high        2.34        0.9614
+    highest     3.61        0.9617
+    ==========  ==========  =======================
+
+    "high" is rank-equivalent to exact fp32 (the 0.96 residual is
+    approx_min_k's OWN recall at rt=0.9, identical under "highest") at
+    1.5x the speed, so it is the operating point. Two retired designs,
+    recorded so they are not retried:
+
+    * bf16 matmul inputs (fp32 combination): same speed as the fp32
+      stream (1.42 vs 1.52 ms at default-precision rt=0.9) because the
+      MXU truncates default-precision fp32 inputs to bf16 anyway — the
+      experiment that "won" in round 3 was unknowingly benchmarking
+      against its own noise model, and both collapse clustered-scene
+      recall (see the table; full-bf16 ARITHMETIC is worse still at
+      0.388 — tests/test_ops_geometry.py::
+      test_bf16_distance_combination_stays_fp32).
+    * the compensating internal recall-target bump
+      (rt_eff = rt + 0.5*(1-rt)): approx_min_k's cost is steeply
+      super-linear in the target (0.9 costs 2.3 ms, the bumped 0.95
+      costs ~9 ms at "high"), so compensating noise that "high" doesn't
+      have quintupled the search — the knn_interp regression in
+      BENCH_r03's first run (9.42 ms vs 6.58 in r02). The A/B-validated
+      operating points (0.9 eval / 0.95 default) now apply unmodified;
+      evalsuite/ab_approx.py measures this path's end-metric effect.
     """
     nq = query.shape[-2]
     nk = key.shape[-2]
-
-    if jax.default_backend() == "tpu":
-        rt_eff = min(0.999, recall_target + 0.5 * (1.0 - recall_target))
-        key = key.astype(jnp.bfloat16)
-        query = query.astype(jnp.bfloat16)
-
-        def dist(q):
-            # bf16 matmul INPUTS, fp32 combination: the cross-term matmul
-            # runs at bf16 MXU rate, but the cancellation-prone
-            # q^2 - 2qk + k^2 combination stays in fp32 — doing it in bf16
-            # adds ~|q|^2 * 2^-9 ~ 4e-3 absolute noise, larger than typical
-            # nearest-neighbor squared distances (~1e-3) at N=100k in the
-            # unit ball. Residual error is only the coordinate rounding.
-            q2 = jnp.sum(jnp.square(q.astype(jnp.float32)), -1,
-                         keepdims=True)
-            k2 = jnp.sum(jnp.square(key.astype(jnp.float32)), -1,
-                         keepdims=True)
-            qk = jnp.einsum("...nd,...md->...nm", q, key,
-                            preferred_element_type=jnp.float32)
-            return jnp.maximum(
-                q2 - 2.0 * qk + jnp.swapaxes(k2, -1, -2), 0.0)
-    else:
-        rt_eff = recall_target
-        dist = lambda q: sq_dist(q, key)
+    dist = lambda q: sq_dist(q, key, precision="high")
 
     def one_shot(q):
         d2 = dist(q)
         if key_valid is not None:
             d2 = jnp.where(key_valid[..., None, :], d2, _INF)
-        d, i = jax.lax.approx_min_k(d2, k, recall_target=rt_eff)
+        d, i = jax.lax.approx_min_k(d2, k, recall_target=recall_target)
         return d.astype(jnp.float32), i.astype(jnp.int32)
 
     if nq * nk <= _SINGLE_SHOT_MAX_ELEMENTS:

@@ -54,13 +54,15 @@ class TestKNN:
         assert (np.asarray(i) >= 8).all()
 
     def test_bf16_distance_combination_stays_fp32(self, rng):
-        """The approx path's bf16 distance stream must do the q^2-2qk+k^2
-        combination in fp32: bf16 arithmetic there loses ~4e-3 absolute to
-        cancellation — larger than nearest-neighbor squared distances on
-        clustered scenes, where the full-bf16 model's top-K set recall
-        collapsed to ~0.39 (knn.py docstring, round-3 measurement). This
-        regression test bit-emulates the kernel's ``dist`` on a clustered
-        cloud and asserts the mixed model stays near exact."""
+        """Guard for a retired design: the approx path once streamed bf16
+        matmul inputs (now pure fp32 — bf16 bought zero speedup, see
+        ops/knn.py::_approx_knn docstring). If bf16 inputs ever return, the
+        q^2-2qk+k^2 combination must STAY fp32: bf16 arithmetic there loses
+        ~4e-3 absolute to cancellation — larger than nearest-neighbor
+        squared distances on clustered scenes, where the full-bf16 model's
+        top-K set recall collapsed to ~0.39 (round-3 measurement). This
+        test bit-emulates the mixed model on a clustered cloud and asserts
+        it stays near exact (the floor any bf16 revival must clear)."""
         N, G, K = 20_000, 64, 128
         centers = rng.standard_normal((32, 3)).astype(np.float32) * 0.5
         pts = centers[rng.integers(0, 32, N)] + \

@@ -297,6 +297,44 @@ def check_mha_packed():
             "[B,S,D]=[1,2048,1024] H=16")
 
 
+def check_knn_approx():
+    """The shipping tokenizer kNN (approx_min_k, precision='high' distance
+    stream) must hold clustered-scene recall ON THE REAL CHIP at the
+    flagship shape. This hazard is shape-dependent and silent: matmul
+    precision 'default' lowers to exact VPU code at small shapes (CPU
+    tests can't see it) but truncates inputs to bf16 in the MXU at
+    2048x100k, collapsing top-256 recall to ~0.51 (round-3 on-chip
+    measurement; ops/knn.py::_approx_knn docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from point_sam_tpu.ops.knn import knn
+
+    rng = np.random.default_rng(7)
+    G, N, K = 2048, 100_000, 256
+    centers = rng.standard_normal((64, 3)) * 0.4
+    pick = rng.integers(0, 64, size=N)
+    pts = (centers[pick] + rng.standard_normal((N, 3)) * 0.02
+           ).astype(np.float32)
+    q = jnp.asarray(pts[rng.choice(N, G, replace=False)])[None]
+    kk = jnp.asarray(pts)[None]
+    _, ia = knn(q, kk, K, method="approx", recall_target=0.9)
+    # exact oracle in query chunks (one [G, N] fp32 row block at a time)
+    from point_sam_tpu.ops.distance import sq_dist
+
+    exact_rows = []
+    top = jax.jit(lambda qc: jax.lax.top_k(-sq_dist(qc, kk), K)[1])
+    for s in range(0, G, 512):
+        exact_rows.append(np.asarray(top(q[:, s:s + 512]))[0])
+    ie = np.concatenate(exact_rows, 0)
+    ia_n = np.asarray(ia)[0]
+    rec = np.mean([
+        len(np.intersect1d(ia_n[g], ie[g])) / K for g in range(0, G, 8)
+    ])
+    assert rec >= 0.93, f"approx-kNN on-chip recall {rec:.3f} < 0.93 floor"
+    return f"clustered recall {rec:.3f} vs exact  [G=2048, N=100k, rt=0.9]"
+
+
 def check_knn_binned():
     import jax.numpy as jnp
 
@@ -339,6 +377,7 @@ def main():
     _check("fps_pallas", check_fps)
     _check("mha_pallas(+vjp)", check_mha)
     _check("mha_packed(+vjp)", check_mha_packed)
+    _check("knn_approx (precision=high)", check_knn_approx)
     _check("knn_binned_pallas", check_knn_binned)
     _check("interp_weights_pallas", check_interp)
     _check("patch_encoder_fused fwd+bwd (eval)",
