@@ -39,6 +39,15 @@ def sq_dist(query: jnp.ndarray, key: jnp.ndarray, *,
         [..., Nq, Nk] squared distances, clamped to >= 0 (the expansion can
         go slightly negative in floating point).
     """
+    if precision == "default":
+        # Guard rail, not a style choice: on TPU the MXU truncates
+        # default-precision fp32 inputs to bf16, silently collapsing
+        # clustered-scene neighbor recall (see docstring table). Every
+        # legitimate caller wants "highest" (exact) or "high" (bf16x3).
+        raise ValueError(
+            "sq_dist(precision='default') is disallowed for geometry: the "
+            "MXU truncates fp32 inputs to bf16. Use 'highest' or 'high'."
+        )
     q2 = jnp.sum(jnp.square(query), axis=-1, keepdims=True)  # [..., Nq, 1]
     k2 = jnp.sum(jnp.square(key), axis=-1, keepdims=True)  # [..., Nk, 1]
     qk = jnp.einsum(

@@ -64,6 +64,12 @@ def main():
         return state[key]
 
     N, G, K = 100_000, 2048, 256
+    # Resumable state is keyed by the probe shape: editing the shapes
+    # invalidates the cache instead of silently replaying stale numbers.
+    shape_tag = f"N{N}_G{G}_K{K}"
+    if state.get("_shape", shape_tag) != shape_tag:
+        state = {}
+    state["_shape"] = shape_tag
     rng = np.random.default_rng(0)
 
     def scan_slope(fn, stacks_lo, stacks_hi, lo=4, hi=12):
@@ -81,9 +87,12 @@ def main():
 
         def run(ss):
             float(j(*ss))  # warm/compile
-            t0 = time.perf_counter()
-            float(j(*ss))
-            return time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(3):  # min-of-3 damps tunnel jitter
+                t0 = time.perf_counter()
+                float(j(*ss))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
         t_lo, t_hi = run(stacks_lo), run(stacks_hi)
         return (t_hi - t_lo) / (hi - lo)

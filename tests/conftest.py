@@ -19,6 +19,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA:CPU compile cache: the suite's wall time is dominated by
+# re-compiling near-identical jitted train/eval steps (round 3: 48 min).
+# Caching only the slow programs keeps the cache small; warm runs skip the
+# multi-minute step_fn compiles entirely.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

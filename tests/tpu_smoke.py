@@ -15,7 +15,10 @@ Run (part of the bench ritual, see CLAUDE.md):
 
 Covers: fps_pallas, mha_pallas (+ custom VJP), interp_weights_pallas,
 patch_encoder_fused fwd + fused bwd — at the eval config (N=100k, G=2048,
-K=256, ViT-L attention) and the train config's mask-encoder shape.
+K=256, ViT-L attention) and the train config's mask-encoder shape — plus
+the approx-kNN precision/recall calibration check (clustered cloud,
+rt=0.9) and the binned-kNN check (skipped when the retired
+ops.knn_pallas module is absent).
 """
 
 from __future__ import annotations
@@ -331,7 +334,13 @@ def check_knn_approx():
     rec = np.mean([
         len(np.intersect1d(ia_n[g], ie[g])) / K for g in range(0, G, 8)
     ])
-    assert rec >= 0.93, f"approx-kNN on-chip recall {rec:.3f} < 0.93 floor"
+    # Floor = the rt=0.9 contractual target plus a hair of slack;
+    # measured 0.9614 on v5e but approx_min_k only guarantees ~0.90 and
+    # other TPU generations / XLA versions may land lower.
+    assert rec >= 0.905, (
+        f"approx-kNN on-chip recall {rec:.3f} < 0.905 floor "
+        "(rt=0.9 contract; v5e measures ~0.96 — recalibrate per hardware)"
+    )
     return f"clustered recall {rec:.3f} vs exact  [G=2048, N=100k, rt=0.9]"
 
 
