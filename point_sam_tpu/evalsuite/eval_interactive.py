@@ -298,6 +298,7 @@ class InteractiveEvaluator:
 def evaluate_directory(
     model, variables, scene_dir: str, *, num_clicks: int = 5,
     max_scenes: int | None = None, category_from_name=None,
+    **evaluator_kwargs,
 ):
     """Evaluate every .ply scene in a directory, KITTI-360 protocol.
 
@@ -305,10 +306,18 @@ def evaluate_directory(
     sidecar ``<name>.masks.npy`` bool array [M, N] of instance masks (the
     AGILE3D crops ship instance ids; the converter in
     evalsuite/prepare_kitti.py produces this layout).
+
+    ``evaluator_kwargs`` pass through to ``InteractiveEvaluator`` —
+    gk_policy / knn_method / knn_recall_target / fps_candidates /
+    masks_per_batch — so the reference-faithful tokenizer policy
+    (eval_kitti.py:350-362) and the approximation A/B knobs are reachable
+    from the CLI.
     """
     from ..utils.ply import load_ply
 
-    evaluator = InteractiveEvaluator(model, variables, num_clicks=num_clicks)
+    evaluator = InteractiveEvaluator(model, variables,
+                                     num_clicks=num_clicks,
+                                     **evaluator_kwargs)
     per_click = defaultdict(list)
     per_cat = defaultdict(lambda: defaultdict(list))
 
@@ -364,6 +373,26 @@ def main(argv=None):
         "total AND per-object-category means, eval_kitti.py:374-390). "
         "filename-prefix uses name.split('_')[0], the layout produced by "
         "prepare_kitti.py; none reports a single 'all' bucket.")
+    parser.add_argument(
+        "--gk-policy", default="bucket_pow2",
+        choices=["bucket_pow2", "reference"],
+        help="tokenizer reconfiguration rule: bucket_pow2 = one executable "
+        "per N-bucket (TPU-first); reference = the per-scene rule of "
+        "eval_kitti.py:350-362 (faithful, recompiles per distinct N)")
+    parser.add_argument(
+        "--knn-method", default="auto", choices=["auto", "exact", "approx"],
+        help="tokenizer G x K neighbor search: auto = approx_min_k on TPU "
+        "for big clouds; exact = blocked exact scan (the A/B switch)")
+    parser.add_argument(
+        "--recall-target", type=float, default=0.9,
+        help="per-neighbor recall target for the approx kNN path")
+    parser.add_argument(
+        "--fps-candidates", type=int, default=None,
+        help="approximate FPS: sample centers from a strided subset of "
+        "this many points (default: exact FPS, reference parity)")
+    parser.add_argument(
+        "--masks-per-batch", type=int, default=4,
+        help="instances decoded per compiled batch (padded; fixed shapes)")
     parser.add_argument("overrides", nargs="*", default=[])
     args = parser.parse_args(argv)
 
@@ -388,6 +417,10 @@ def main(argv=None):
         model, variables, args.scene_dir,
         num_clicks=args.num_clicks, max_scenes=args.max_scenes,
         category_from_name=category_from_name,
+        gk_policy=args.gk_policy, knn_method=args.knn_method,
+        knn_recall_target=args.recall_target,
+        fps_candidates=args.fps_candidates,
+        masks_per_batch=args.masks_per_batch,
     )
     print(json.dumps(report, indent=2))
     return report

@@ -286,6 +286,7 @@ def main(argv=None):
                 dump_visualizations(
                     model, state, val_iter,
                     Path(cfg.get("project_dir", ".")) / "vis" / f"ep{epoch+1}",
+                    wandb_run=wandb_run, step=global_step,
                 )
 
         if (epoch + 1) % cfg.get("save_freq", 5) == 0 or global_step >= max_steps:
@@ -391,8 +392,12 @@ def _fsdp_load_pretrained(path: str, state, init_fn, init_args):
 
 
 def dump_visualizations(model, state, val_iter, out_dir: Path,
-                        max_samples: int = 4):
-    """Write prompt + best-mask PLYs for a few validation samples."""
+                        max_samples: int = 4, wandb_run=None, step=None):
+    """Write prompt + best-mask PLYs for a few validation samples; when a
+    wandb run is live, additionally log the same clouds as
+    ``wandb.Object3D`` panels with prompts recolored (reference
+    train.py:314-327,360-382). The PLY dump is the offline fallback and is
+    always written."""
     import jax
     import jax.numpy as jnp
 
@@ -408,17 +413,27 @@ def dump_visualizations(model, state, val_iter, out_dir: Path,
     last = jax.device_get(outputs[-1])
     B, M, _ = gt.shape
     xyz = np.asarray(coords)
+    panels = {}
     for i in range(min(max_samples, B * M)):
         b = i // M
         rgb = np.clip((np.asarray(feats)[b, :, :3] * 0.5 + 0.5) * 255, 0, 255)
-        ply.visualize_mask(
-            out_dir / f"sample{i}_pred.ply", xyz[b],
-            last["prompt_masks"][i] > 0, rgb,
+        pred_rgb = ply.mask_colors(xyz[b], last["prompt_masks"][i] > 0, rgb)
+        prompt_rgb = ply.prompt_colors(
+            xyz[b], last["prompt_coords"][i], last["prompt_labels"][i], rgb
         )
-        ply.visualize_prompts(
-            out_dir / f"sample{i}_prompts.ply", xyz[b],
-            last["prompt_coords"][i], last["prompt_labels"][i], rgb,
-        )
+        ply.save_ply(out_dir / f"sample{i}_pred.ply", xyz[b], pred_rgb)
+        ply.save_ply(out_dir / f"sample{i}_prompts.ply", xyz[b], prompt_rgb)
+        if wandb_run is not None:
+            import wandb
+
+            panels[f"val/sample{i}_pred"] = wandb.Object3D(
+                np.concatenate([xyz[b], pred_rgb], axis=1)
+            )
+            panels[f"val/sample{i}_prompts"] = wandb.Object3D(
+                np.concatenate([xyz[b], prompt_rgb], axis=1)
+            )
+    if panels:
+        wandb_run.log(panels, step=step)
 
 
 def validate(model, state, val_iter, mesh):

@@ -143,26 +143,42 @@ def save_ply(path: str | Path, xyz: np.ndarray, rgb: np.ndarray | None = None,
                 f.write((row + "\n").encode("ascii"))
 
 
-def visualize_mask(path, xyz, mask, rgb=None,
-                   color=(255, 0, 0), alpha=0.6) -> None:
-    """Write a cloud with mask points alpha-blended toward ``color``
-    (debug writer in the spirit of reference ply_utils.py:57-100)."""
+def mask_colors(xyz, mask, rgb=None, color=(255, 0, 0),
+                alpha=0.6) -> np.ndarray:
+    """Per-point colors with mask points alpha-blended toward ``color``
+    (the recoloring of reference ply_utils.py:57-100 / train.py:314-327,
+    shared by the PLY writers and the wandb.Object3D panels)."""
     base = (np.full((len(xyz), 3), 128, np.float64)
             if rgb is None else np.asarray(rgb, np.float64))
     out = base.copy()
     out[np.asarray(mask, bool)] = (
         (1 - alpha) * base[np.asarray(mask, bool)] + alpha * np.asarray(color)
     )
-    save_ply(path, xyz, out)
+    return out
 
 
-def visualize_prompts(path, xyz, prompt_coords, prompt_labels, rgb=None,
-                      radius: float = 0.02) -> None:
-    """Color points near each prompt green (positive) / red (negative)."""
+def prompt_colors(xyz, prompt_coords, prompt_labels, rgb=None,
+                  radius: float = 0.02) -> np.ndarray:
+    """Per-point colors with points near each prompt painted green
+    (positive) / red (negative)."""
     base = (np.full((len(xyz), 3), 128, np.float64)
             if rgb is None else np.asarray(rgb, np.float64))
     out = base.copy()
     for p, lab in zip(np.asarray(prompt_coords), np.asarray(prompt_labels)):
         d = np.linalg.norm(xyz - p, axis=1)
         out[d < radius] = (0, 255, 0) if lab else (255, 0, 0)
-    save_ply(path, xyz, out)
+    return out
+
+
+def visualize_mask(path, xyz, mask, rgb=None,
+                   color=(255, 0, 0), alpha=0.6) -> None:
+    """Write a cloud with mask points alpha-blended toward ``color``
+    (debug writer in the spirit of reference ply_utils.py:57-100)."""
+    save_ply(path, xyz, mask_colors(xyz, mask, rgb, color, alpha))
+
+
+def visualize_prompts(path, xyz, prompt_coords, prompt_labels, rgb=None,
+                      radius: float = 0.02) -> None:
+    """Color points near each prompt green (positive) / red (negative)."""
+    save_ply(path, xyz, prompt_colors(xyz, prompt_coords, prompt_labels,
+                                      rgb, radius))

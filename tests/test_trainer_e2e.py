@@ -123,3 +123,49 @@ def test_trainer_writes_valid_metrics_json(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "train/loss" in out
     assert "val/best_multimask_iou" in out or "val/iou(0)" in out
+
+
+def test_wandb_object3d_panels(tmp_path, monkeypatch):
+    """When wandb is live, validation visualizations are logged as
+    wandb.Object3D point-cloud panels (reference train.py:314-327,360-382);
+    the offline PLY dump is still written."""
+    import sys
+    import types
+
+    logged = []
+
+    class FakeObject3D:
+        def __init__(self, data):
+            data = np.asarray(data)
+            assert data.ndim == 2 and data.shape[1] == 6  # xyz + rgb
+            self.data = data
+
+    class FakeRun:
+        def log(self, metrics, step=None):
+            logged.append((dict(metrics), step))
+
+        def finish(self):
+            pass
+
+    fake = types.ModuleType("wandb")
+    fake.Object3D = FakeObject3D
+    fake.init = lambda **kw: FakeRun()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    _run(tmp_path, ["max_epochs=1", "max_steps=1000", "val_freq=1",
+                    "vis_freq=1", "log_with=wandb"])
+
+    panels = [
+        (k, v) for metrics, _ in logged for k, v in metrics.items()
+        if isinstance(v, FakeObject3D)
+    ]
+    names = {k for k, _ in panels}
+    assert any("pred" in n for n in names), names
+    assert any("prompts" in n for n in names), names
+    # prompt recoloring: at least one painted green/red point
+    prompt_panel = next(v for k, v in panels if "prompts" in k)
+    rgb = prompt_panel.data[:, 3:]
+    assert ((rgb == (0, 255, 0)).all(1) | (rgb == (255, 0, 0)).all(1)).any()
+    # offline PLY fallback unchanged
+    vis = list((tmp_path / "run" / "vis").rglob("*.ply"))
+    assert vis, "PLY dump missing"
