@@ -135,6 +135,15 @@ def main():
         "floor",
         lambda: min(_timeit(lambda: float(trivial(xtiny))) for _ in range(10)),
     )
+    # Guard against a poisoned run: the tunnel floor is ~25-35 ms on a
+    # quiet host; a fat floor means something else is hogging the (single)
+    # CPU and every stage timed under it is garbage (this exact failure
+    # produced an unusable r4 state file: floor=132 ms while pytest ran).
+    if on_tpu and not small and floor > 0.06:
+        raise SystemExit(
+            f"dispatch floor {floor*1e3:.0f} ms >> the ~30 ms tunnel "
+            "round-trip: host is contended; free the CPU, delete "
+            f"{state_path} and rerun")
 
     # ------------------------------------------- train step (clouds/sec)
     # The train stage runs FIRST: model params + optimizer state for ViT-L
@@ -376,16 +385,21 @@ def main():
     # Last: each batch size compiles its own geometry + encode executables.
     n_bi = 3
     batched = {}
+    batched_split = {}
     for b in BATCHES:
         def measure_bN(b=b):
+            # Split recorded per stage (VERDICT r3 #4): whether batching
+            # stalls in the geometry kernels or the ViT is diagnosable
+            # straight from the bench artifact.
             cb, fb = make_stack(n_bi, b)
             gs = geom_stack_for(cb, n_bi)
             t_geom_b = timed_scan(run_geom, cb, fb)
             t_rest_b = timed_scan(run_encode_rest, cb, fb, gs)
-            return t_geom_b + t_rest_b
+            return {"geom": t_geom_b, "rest": t_rest_b}
 
-        t_bN = stage(f"encode_b{b}", measure_bN)
-        batched[b] = b / t_bN
+        t_bN = stage(f"encode_split_b{b}", measure_bN)
+        batched[b] = b / (t_bN["geom"] + t_bN["rest"])
+        batched_split[b] = t_bN
 
     # ------------------------------------- EVA-giant + voronoi (config #5)
     # BASELINE workload #5 (reference configs/voronoi_giant.yaml): voronoi
@@ -437,6 +451,10 @@ def main():
         "clouds_per_sec_b1": round(clouds_per_sec_b1, 2),
         "clouds_per_sec_batched": {
             str(b): round(v, 2) for b, v in batched.items()
+        },
+        "batched_ms_per_batch": {
+            str(b): {k: round(v * 1e3, 2) for k, v in s.items()}
+            for b, s in batched_split.items()
         },
         "stages_ms_b1": {
             "fps": round(t_fps * 1e3, 2),

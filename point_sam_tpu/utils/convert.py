@@ -644,6 +644,9 @@ def checkpoint_check(path: str, config: str = "large", overrides=(),
         result["golden"] = dict(diffs)
         result["golden_ok"] = worst < 1e-4
         ok = ok and result["golden_ok"]
+        # ok was snapshotted into result BEFORE the golden pass; without
+        # this the CLI exits 0 on golden-activation failures.
+        result["ok"] = ok
     print("PARITY OK" if ok else "PARITY ISSUES FOUND (see above)")
     return result
 

@@ -9,7 +9,10 @@ multihost equivalent of "DDP grads match single-GPU" for the reference's
 accelerate launch path (train.py:163-176).
 
 Usage: python tests/_multihost_worker.py <pid> <nproc> <port> <out.json>
-(nproc=1 skips distributed init entirely = the single-process oracle).
+      [param_sharding]
+(nproc=1 skips distributed init entirely = the single-process oracle;
+param_sharding defaults to "replicated" = DDP; "fsdp" shards params +
+optimizer state over the data axis — the layout giant training uses).
 """
 
 import json
@@ -19,10 +22,16 @@ import sys
 def main():
     pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
+    param_sharding = sys.argv[5] if len(sys.argv) > 5 else "replicated"
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: each worker is a fresh process, and the
+    # tiny train step still costs minutes of XLA:CPU compile without it
+    # (round-3 suite-time blowup, VERDICT #5).
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     if nproc > 1:
         jax.distributed.initialize(f"localhost:{port}", nproc, pid)
 
@@ -85,10 +94,19 @@ def main():
     params = variables["params"]
     buffers = {k: v for k, v in variables.items() if k != "params"}
     state = TrainState.create(params, buffers, tx)
-    state = replicate(state, mesh)
+    if param_sharding == "fsdp":
+        # Shard from identical full host copies: every process builds the
+        # same state from fixed seeds, so device_put to the global FSDP
+        # sharding is well-defined. min_elements lowered so the tiny
+        # model's medium leaves actually shard across the 4 devices.
+        from point_sam_tpu.parallel.fsdp import fsdp_place
+
+        state = fsdp_place(state, mesh)
+    else:
+        state = replicate(state, mesh)
 
     step_fn = make_train_step(model, tx, mesh, accum_steps=1,
-                              param_sharding="replicated",
+                              param_sharding=param_sharding,
                               state_example=TrainState.create(
                                   params, buffers, tx),
                               criterion=criterion)
@@ -97,13 +115,24 @@ def main():
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(13))
 
     loss = float(jax.device_get(metrics["loss"]))
-    digest = float(sum(
-        np.abs(np.asarray(jax.device_get(x), np.float64)).sum()
-        for x in jax.tree_util.tree_leaves(state.params)))
+    # Param digest via a jitted replicated-output reduction: under FSDP the
+    # post-step params are sharded across processes and cannot be
+    # device_get directly.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    digest_fn = jax.jit(
+        lambda p: sum(
+            jnp.sum(jnp.abs(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(p)
+        ),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    digest = float(jax.device_get(digest_fn(state.params)))
     with open(out_path, "w") as f:
         json.dump({"pid": pid, "nproc": nproc, "loss": loss,
-                   "digest": digest}, f)
-    print(f"worker {pid}/{nproc}: loss={loss:.6f} digest={digest:.6f}")
+                   "digest": digest, "param_sharding": param_sharding}, f)
+    print(f"worker {pid}/{nproc} [{param_sharding}]: "
+          f"loss={loss:.6f} digest={digest:.6f}")
 
 
 if __name__ == "__main__":

@@ -404,6 +404,23 @@ class TestParityCLI:
         assert all(d < 1e-4 for d in result["golden"].values())
         assert not result["unmapped"] and not result["unfilled"]
 
+    def test_golden_failure_fails_the_cli(self, tmp_path, monkeypatch):
+        """A conversion whose activations diverge must exit nonzero
+        (regression: result['ok'] was snapshotted before the golden pass,
+        so --golden failures exited 0)."""
+        from safetensors.numpy import save_file
+
+        from point_sam_tpu.utils import convert
+
+        path = tmp_path / "ckpt.safetensors"
+        save_file(self._scaled_sd(), str(path))
+        monkeypatch.setattr(
+            convert, "golden_module_diffs",
+            lambda *a, **kw: [("vit.block_0", 0.37)])
+        rc = convert.main(["--check", str(path), "--golden",
+                           "--config", "tiny"])
+        assert rc == 1
+
 
 class TestGoldenOracles:
     """Numpy oracles (utils/golden.py) pinned against the torch oracles."""
@@ -452,3 +469,40 @@ class TestGoldenOracles:
             pc, pe, tok, heads=4)
         np.testing.assert_allclose(gq, t2n(wq), atol=1e-5)
         np.testing.assert_allclose(gk, t2n(wk), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_check_golden_cli_on_vitl_safetensors_file(tmp_path, capsys):
+    """VERDICT r3 #10: the real-weights parity command must be proven on an
+    actual .safetensors FILE, end-to-end through the CLI entry point
+    (``python -m point_sam_tpu.utils.convert --check ckpt --golden``), so
+    the day released ViT-L weights appear the command is known-good.
+
+    The checkpoint is a synthetic full-ViT-L-surface state dict (every
+    executed tensor at eva02_large shapes + the known-unused timm extras),
+    serialized with safetensors.numpy — the same on-disk format the
+    reference loads at eval_kitti.py:319.
+    """
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(0)
+    sd = ref_state_dict(embed_dim=1024, depth=24,
+                        mlp_hidden=int(1024 * 4 * 2 / 3))
+    sd.update(TestConverter().timm_extras(rng))
+    # Fan-in-scale the linear weights (TestParityCLI._scaled_sd rationale):
+    # raw N(0,1) weights at dim 1024 blow up fp32 activations and turn op
+    # reordering into >1e-3 rel diffs; trained checkpoints are conditioned.
+    sd = {
+        k: ((v / np.sqrt(v.shape[1])).astype(v.dtype)
+            if v.ndim == 2 and "gaussian" not in k
+            else np.ascontiguousarray(v))
+        for k, v in sd.items()
+    }
+    path = tmp_path / "model.safetensors"
+    save_file(sd, str(path))
+
+    rc = convert.main(["--check", str(path), "--golden", "--config", "large"])
+    out = capsys.readouterr().out
+    assert rc == 0, out[-3000:]
+    assert "PARITY OK" in out
+    assert "golden activation diffs" in out

@@ -31,7 +31,8 @@ def _free_port():
     return port
 
 
-def _spawn(pid, nproc, port, out, n_local_devices):
+def _spawn(pid, nproc, port, out, n_local_devices,
+           param_sharding="replicated"):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={n_local_devices}"
@@ -45,35 +46,44 @@ def _spawn(pid, nproc, port, out, n_local_devices):
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     return subprocess.Popen(
         [sys.executable, str(WORKER), str(pid), str(nproc), str(port),
-         str(out)],
+         str(out), param_sharding],
         env=env, cwd=str(REPO),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
 
 
-@pytest.mark.slow
-def test_two_process_step_matches_single_process(tmp_path):
-    port = _free_port()
-    outs = [tmp_path / f"p{i}.json" for i in range(2)]
+def _run_single_oracle(tmp_path):
     single = tmp_path / "single.json"
-
-    # Single-process oracle: 4 local devices, same global batch.
-    p = _spawn(0, 1, port, single, n_local_devices=4)
+    p = _spawn(0, 1, 0, single, n_local_devices=4)
     out, _ = p.communicate(timeout=900)
     assert p.returncode == 0, out[-4000:]
+    return json.loads(single.read_text())
 
-    procs = [_spawn(i, 2, _free_port() if False else port, outs[i],
-                    n_local_devices=2) for i in range(2)]
+
+def _run_pair(tmp_path, param_sharding):
+    port = _free_port()
+    outs = [tmp_path / f"{param_sharding}_p{i}.json" for i in range(2)]
+    procs = [_spawn(i, 2, port, outs[i], n_local_devices=2,
+                    param_sharding=param_sharding) for i in range(2)]
     logs = []
     for p in procs:
         out, _ = p.communicate(timeout=900)
         logs.append(out)
     assert all(p.returncode == 0 for p in procs), "\n".join(
         log[-4000:] for log in logs)
+    return [json.loads(o.read_text()) for o in outs]
 
-    r0 = json.loads(outs[0].read_text())
-    r1 = json.loads(outs[1].read_text())
-    rs = json.loads(single.read_text())
+
+@pytest.fixture(scope="module")
+def single_oracle(tmp_path_factory):
+    """Single-process (4 local devices) DP oracle, shared by both tests."""
+    return _run_single_oracle(tmp_path_factory.mktemp("oracle"))
+
+
+@pytest.mark.slow
+def test_two_process_step_matches_single_process(tmp_path, single_oracle):
+    r0, r1 = _run_pair(tmp_path, "replicated")
+    rs = single_oracle
 
     # Both processes see the same compiled step over the same global arrays.
     assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-6)
@@ -81,3 +91,19 @@ def test_two_process_step_matches_single_process(tmp_path):
     # And the 2-process run reproduces the single-process computation.
     assert r0["loss"] == pytest.approx(rs["loss"], abs=5e-5)
     assert r0["digest"] == pytest.approx(rs["digest"], rel=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_matches_dp(tmp_path, single_oracle):
+    """VERDICT r3 #9: 2-process FSDP (params + optimizer state sharded over
+    the data axis — the layout giant training actually uses) must produce
+    the same loss and post-step params as replicated DP."""
+    r0, r1 = _run_pair(tmp_path, "fsdp")
+    rs = single_oracle
+
+    assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-6)
+    assert r0["digest"] == pytest.approx(r1["digest"], rel=1e-6)
+    # FSDP reduce-scatter/all-gather ordering differs from DP's all-reduce,
+    # so allow a slightly looser fp32 tolerance than the DP-vs-DP check.
+    assert r0["loss"] == pytest.approx(rs["loss"], abs=5e-5)
+    assert r0["digest"] == pytest.approx(rs["digest"], rel=1e-5)
