@@ -374,7 +374,10 @@ def main():
                 prompt_valid=jnp.ones((M, 1), bool), multimask_output=True,
                 method=model.decode,
             )
-            return ious
+            # Consume the MASKS, not just the ious: the [M, N]-point mask
+            # upscaling is the decode hot path, and returning ious alone
+            # lets XLA dead-code-eliminate it (r4 catch: 0.03 ms/batch).
+            return masks, ious
 
         return timed_scan(run_decode, pc_stack)
 
