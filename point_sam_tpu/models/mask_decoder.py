@@ -142,7 +142,15 @@ class MaskDecoder(nn.Module):
         mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens]
 
         # Upscale: 3-NN interpolate pc tokens to all N points, then MLP
-        # (reference :147-164).
+        # (reference :147-164) — with the MLP's FIRST Dense hoisted to the
+        # G-token scale: the 3-NN interp weights sum to 1
+        # (ops/interp.py::compute_interp_weights), so Dense(interp(x)) ==
+        # interp(Dense(x)) in real arithmetic, and projecting the [B*M, G,
+        # D] tokens instead of the [B*M, N, D] interpolated features is
+        # ~N/G (≈50x at the eval config) cheaper in FLOPs and removes one
+        # full-size HBM round trip. The reference orders it interp-then-MLP
+        # (mask_decoder.py:147-163).
+        src = self.output_upscaling.project(src)
         if self.point_mesh is not None:
             # Point-axis sharding: the interp gather reads from the small
             # REPLICATED token set, so an index/weight constraint is all
@@ -158,12 +166,6 @@ class MaskDecoder(nn.Module):
             interp_weight = jax.lax.with_sharding_constraint(
                 interp_weight, shard_n)
         interp = interpolate_features_repeated(src, interp_index, interp_weight)
-        upscaled = self.output_upscaling(interp)  # [B*M, N, D]
-        if self.point_mesh is not None:
-            upscaled = jax.lax.with_sharding_constraint(
-                upscaled,
-                NamedSharding(self.point_mesh,
-                              P_(None, self.point_axis, None)))
 
         token_slice = (
             range(1, self.num_mask_tokens) if multimask_output else range(0, 1)
@@ -175,10 +177,40 @@ class MaskDecoder(nn.Module):
             ],
             axis=1,
         )  # [B*M, C, D]
-        masks = jnp.einsum(
-            "bcd,bnd->bcn", hyper_in, upscaled,
-            preferred_element_type=jnp.float32,
-        )
+
+        from ..ops.upscale_pallas import upscale_dispatch_ok, upscale_hyper_ad
+
+        if (
+            not self.is_initializing()
+            and self.point_mesh is None
+            and upscale_dispatch_ok(interp.shape[1], D, hyper_in.shape[1],
+                                    self.dtype)
+        ):
+            # Fused Pallas tail: LN -> GELU -> Dense -> GELU -> hypernet
+            # dot streamed over N tiles in VMEM — the XLA lowering
+            # round-trips each [B*M, N, D] stage through HBM (the decode
+            # hot path; see ops/upscale_pallas.py). XLA-recompute backward.
+            p = self.get_variable("params", "output_upscaling")
+            params = tuple(
+                jnp.asarray(q)
+                for q in (
+                    p["LayerNorm_0"]["LayerNorm_0"]["scale"],
+                    p["LayerNorm_0"]["LayerNorm_0"]["bias"],
+                    p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+                )
+            )
+            masks = upscale_hyper_ad(interp, params, hyper_in, self.dtype)
+        else:
+            upscaled = self.output_upscaling.finish(interp)  # [B*M, N, D]
+            if self.point_mesh is not None:
+                upscaled = jax.lax.with_sharding_constraint(
+                    upscaled,
+                    NamedSharding(self.point_mesh,
+                                  P_(None, self.point_axis, None)))
+            masks = jnp.einsum(
+                "bcd,bnd->bcn", hyper_in, upscaled,
+                preferred_element_type=jnp.float32,
+            )
 
         iou_pred = self.iou_prediction_head(iou_token_out).astype(jnp.float32)
         iou_pred = iou_pred[:, list(token_slice)]
@@ -187,17 +219,37 @@ class MaskDecoder(nn.Module):
 
 class OutputUpscaling(nn.Module):
     """Linear-LN-GELU-Linear-GELU on interpolated per-point features
-    (reference mask_decoder.py:53-59)."""
+    (reference mask_decoder.py:53-59).
+
+    Split into ``project`` (the first Linear) and ``finish`` (the rest) so
+    the caller can hoist the projection BEFORE the 3-NN interpolation —
+    exact, since the interp weights sum to 1 — turning a [B*M, N, D]
+    matmul into a [B*M, G, D] one. Explicit submodule names keep the param
+    tree identical to the original nn.compact layout (checkpoints and
+    utils/convert.py rules unaffected).
+    """
 
     dim: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(
-            x.astype(self.dtype)
+    def setup(self):
+        self.proj = nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+            name="Dense_0",
         )
-        x = LayerNorm(dtype=self.dtype)(x)
+        self.norm = LayerNorm(dtype=self.dtype, name="LayerNorm_0")
+        self.out = nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+            name="Dense_1",
+        )
+
+    def project(self, x):
+        return self.proj(x.astype(self.dtype))
+
+    def finish(self, x):
+        x = self.norm(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
-        return nn.gelu(x, approximate=False)
+        return nn.gelu(self.out(x), approximate=False)
+
+    def __call__(self, x):
+        return self.finish(self.project(x))

@@ -268,12 +268,18 @@ class MaskDecoderHier(nn.Module):
         x = jnp.concatenate([x, e1], axis=-1)
         x = _mlp_ln(x, D, D, self.dtype, "output_upscaling2", final_gelu=False)
 
-        # Stage 1->points: interpolate G1 features to all N (reference :324-325).
+        # Stage 1->points (reference :324-325) — with output_upscaling1's
+        # first Dense HOISTED to the G1 scale: the 3-NN interp weights sum
+        # to 1, so Dense(interp(x)) == interp(Dense(x)) and projecting
+        # [B*M, G1, D] instead of [B*M, N, D] is ~N/G1 cheaper (same hoist
+        # as models/mask_decoder.py). The LN-GELU-Dense-GELU tail + the
+        # hypernet dot then run as ONE fused Pallas kernel on TPU
+        # (ops/upscale_pallas.py) that reads the interpolated features once.
+        x = nn.Dense(D // 2, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="output_upscaling1_fc1")(x.astype(self.dtype))
         x = interpolate_features_repeated(
             x, geom["interp_index"], geom["interp_weight"]
-        )  # [B*M, N, D]
-        upscaled = _mlp_ln(x, D // 2, D // 2, self.dtype, "output_upscaling1",
-                           final_gelu=True)
+        )  # [B*M, N, D//2]
 
         token_slice = (
             range(1, self.num_mask_tokens) if multimask_output else range(0, 1)
@@ -287,8 +293,31 @@ class MaskDecoderHier(nn.Module):
             ],
             axis=1,
         )
-        masks = jnp.einsum("bcd,bnd->bcn", hyper_in, upscaled,
-                           preferred_element_type=jnp.float32)
+
+        from ..ops.upscale_pallas import upscale_dispatch_ok, upscale_hyper_ad
+
+        if (
+            not self.is_initializing()
+            and upscale_dispatch_ok(x.shape[1], D // 2, hyper_in.shape[1],
+                                    self.dtype)
+        ):
+            ln = self.get_variable("params", "output_upscaling1_norm")
+            fc2 = self.get_variable("params", "output_upscaling1_fc2")
+            params = tuple(
+                jnp.asarray(q)
+                for q in (ln["LayerNorm_0"]["scale"],
+                          ln["LayerNorm_0"]["bias"],
+                          fc2["kernel"], fc2["bias"])
+            )
+            masks = upscale_hyper_ad(x, params, hyper_in, self.dtype)
+        else:
+            x = LayerNorm(dtype=self.dtype, name="output_upscaling1_norm")(x)
+            x = nn.gelu(x, approximate=False)
+            x = nn.Dense(D // 2, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="output_upscaling1_fc2")(x)
+            upscaled = nn.gelu(x, approximate=False)
+            masks = jnp.einsum("bcd,bnd->bcn", hyper_in, upscaled,
+                               preferred_element_type=jnp.float32)
         iou_pred = MLP(
             self.iou_head_hidden_dim, self.num_mask_tokens,
             self.iou_head_depth, dtype=self.dtype, name="iou_prediction_head",

@@ -15,7 +15,8 @@ Run (part of the bench ritual, see CLAUDE.md):
 
 Covers: fps_pallas, mha_pallas (+ custom VJP), interp_weights_pallas,
 patch_encoder_fused fwd + fused bwd — at the eval config (N=100k, G=2048,
-K=256, ViT-L attention) and the train config's mask-encoder shape — plus
+K=256, ViT-L attention) and the train config's mask-encoder shape —
+upscale_hyper_fused (the decode upscale tail at B*M=8, N=100k), plus
 the approx-kNN precision/recall calibration check (clustered cloud,
 rt=0.9) and the binned-kNN check (skipped when the retired
 ops.knn_pallas module is absent).
@@ -380,6 +381,42 @@ def check_knn_binned():
     return f"set recall {rec:.3f} vs exact  [G=2048, N=100k, K=256, r=0.9]"
 
 
+def check_upscale_fused():
+    """Fused decode-upscale tail at the eval decode shape (B*M=8, N=100k,
+    D=256, C=3) vs the XLA reference, on the real chip (bf16)."""
+    import jax.numpy as jnp
+
+    import jax
+
+    from point_sam_tpu.ops.upscale_pallas import (
+        upscale_dispatch_ok,
+        upscale_hyper_fused,
+        upscale_hyper_reference,
+    )
+
+    assert upscale_dispatch_ok(100_000, 256, 3, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    bm, n, d, c = 8, 100_000, 256, 3
+    x = jnp.asarray(rng.standard_normal((bm, n, d)), jnp.bfloat16)
+    params = tuple(
+        jnp.asarray(a, jnp.float32)
+        for a in (
+            rng.standard_normal(d) * 0.2 + 1.0,
+            rng.standard_normal(d) * 0.1,
+            rng.standard_normal((d, d)) / np.sqrt(d),
+            rng.standard_normal(d) * 0.1,
+        )
+    )
+    hyper = jnp.asarray(rng.standard_normal((bm, c, d)), jnp.bfloat16)
+    got = np.asarray(upscale_hyper_fused(x, params, hyper, cdt=jnp.bfloat16))
+    want = np.asarray(
+        jax.jit(lambda *a: upscale_hyper_reference(*a, cdt=jnp.bfloat16))(
+            x, params, hyper))
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+    assert rel < 2e-2, f"fused upscale rel diff {rel:.4f} vs XLA reference"
+    return f"rel diff {rel:.1e} vs XLA ref  [BM=8, N=100k, D=256, C=3]"
+
+
 def main():
     _setup()
     print("compiling + checking kernels on the real chip:")
@@ -393,6 +430,7 @@ def main():
            lambda: check_patch_encoder(2048, 256, 6, "G=2048 K=256 C=6"))
     _check("patch_encoder_fused fwd+bwd (mask)",
            lambda: check_patch_encoder(1024, 256, 4, "G=1024 K=256 C=4"))
+    _check("upscale_hyper_fused (decode)", check_upscale_fused)
     if _FAILURES:
         print(f"tpu_smoke: {len(_FAILURES)} FAILED: {_FAILURES}")
         sys.exit(1)
