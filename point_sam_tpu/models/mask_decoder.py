@@ -165,8 +165,6 @@ class MaskDecoder(nn.Module):
                 interp_index, shard_n)
             interp_weight = jax.lax.with_sharding_constraint(
                 interp_weight, shard_n)
-        interp = interpolate_features_repeated(src, interp_index, interp_weight)
-
         token_slice = (
             range(1, self.num_mask_tokens) if multimask_output else range(0, 1)
         )
@@ -178,29 +176,39 @@ class MaskDecoder(nn.Module):
             axis=1,
         )  # [B*M, C, D]
 
-        from ..ops.upscale_pallas import upscale_dispatch_ok, upscale_hyper_ad
+        from ..ops.upscale_pallas import (
+            interp_upscale_dispatch_ok,
+            interp_upscale_hyper_ad,
+            upscale_dispatch_ok,
+            upscale_hyper_ad,
+        )
 
-        if (
-            not self.is_initializing()
-            and self.point_mesh is None
-            and upscale_dispatch_ok(interp.shape[1], D, hyper_in.shape[1],
-                                    self.dtype)
-        ):
-            # Fused Pallas tail: LN -> GELU -> Dense -> GELU -> hypernet
-            # dot streamed over N tiles in VMEM — the XLA lowering
-            # round-trips each [B*M, N, D] stage through HBM (the decode
-            # hot path; see ops/upscale_pallas.py). XLA-recompute backward.
-            p = self.get_variable("params", "output_upscaling")
-            params = tuple(
-                jnp.asarray(q)
-                for q in (
-                    p["LayerNorm_0"]["LayerNorm_0"]["scale"],
-                    p["LayerNorm_0"]["LayerNorm_0"]["bias"],
-                    p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
-                )
-            )
-            masks = upscale_hyper_ad(interp, params, hyper_in, self.dtype)
+        C = hyper_in.shape[1]
+        N = interp_index.shape[1]
+        fusable = not self.is_initializing() and self.point_mesh is None
+        if fusable and interp_upscale_dispatch_ok(
+                N, src.shape[1], D, C, self.dtype,
+                m=BM // interp_index.shape[0]):
+            # Fully fused decode tail: 3-NN interp (as a weighted one-hot
+            # MXU matmul against the VMEM-resident token table) + LN ->
+            # GELU -> Dense -> GELU -> hypernet dot in ONE Pallas kernel —
+            # the [B*M, N, D] interpolated tensor never exists in HBM
+            # (kbench7: the XLA gather alone was 11.5 ms of the 17.6 ms
+            # decode at the eval shape). XLA-recompute backward.
+            masks = interp_upscale_hyper_ad(
+                src, interp_index, interp_weight,
+                self._upscale_tail_params(), hyper_in, self.dtype)
+        elif fusable and upscale_dispatch_ok(N, D, C, self.dtype):
+            # Fused tail only (G too wide for the in-kernel interp): XLA
+            # gather + LN -> GELU -> Dense -> GELU -> hypernet dot
+            # streamed over N tiles in VMEM (see ops/upscale_pallas.py).
+            interp = interpolate_features_repeated(
+                src, interp_index, interp_weight)
+            masks = upscale_hyper_ad(
+                interp, self._upscale_tail_params(), hyper_in, self.dtype)
         else:
+            interp = interpolate_features_repeated(
+                src, interp_index, interp_weight)
             upscaled = self.output_upscaling.finish(interp)  # [B*M, N, D]
             if self.point_mesh is not None:
                 upscaled = jax.lax.with_sharding_constraint(
@@ -215,6 +223,19 @@ class MaskDecoder(nn.Module):
         iou_pred = self.iou_prediction_head(iou_token_out).astype(jnp.float32)
         iou_pred = iou_pred[:, list(token_slice)]
         return masks, iou_pred
+
+    def _upscale_tail_params(self) -> tuple:
+        """OutputUpscaling's LN + Dense_1 leaves for the fused kernels
+        (identical tree; checkpoints and the XLA path are unaffected)."""
+        p = self.get_variable("params", "output_upscaling")
+        return tuple(
+            jnp.asarray(q)
+            for q in (
+                p["LayerNorm_0"]["LayerNorm_0"]["scale"],
+                p["LayerNorm_0"]["LayerNorm_0"]["bias"],
+                p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+            )
+        )
 
 
 class OutputUpscaling(nn.Module):

@@ -277,9 +277,8 @@ class MaskDecoderHier(nn.Module):
         # (ops/upscale_pallas.py) that reads the interpolated features once.
         x = nn.Dense(D // 2, dtype=self.dtype, param_dtype=jnp.float32,
                      name="output_upscaling1_fc1")(x.astype(self.dtype))
-        x = interpolate_features_repeated(
-            x, geom["interp_index"], geom["interp_weight"]
-        )  # [B*M, N, D//2]
+        # [B*M, G1, D//2] — interpolation to N happens inside the fused
+        # kernel when dispatchable, else explicitly below.
 
         token_slice = (
             range(1, self.num_mask_tokens) if multimask_output else range(0, 1)
@@ -294,23 +293,45 @@ class MaskDecoderHier(nn.Module):
             axis=1,
         )
 
-        from ..ops.upscale_pallas import upscale_dispatch_ok, upscale_hyper_ad
+        from ..ops.upscale_pallas import (
+            interp_upscale_dispatch_ok,
+            interp_upscale_hyper_ad,
+            upscale_dispatch_ok,
+            upscale_hyper_ad,
+        )
 
-        if (
-            not self.is_initializing()
-            and upscale_dispatch_ok(x.shape[1], D // 2, hyper_in.shape[1],
-                                    self.dtype)
-        ):
+        N = geom["interp_index"].shape[1]
+        C = hyper_in.shape[1]
+
+        def _tail_params():
             ln = self.get_variable("params", "output_upscaling1_norm")
             fc2 = self.get_variable("params", "output_upscaling1_fc2")
-            params = tuple(
+            return tuple(
                 jnp.asarray(q)
                 for q in (ln["LayerNorm_0"]["scale"],
                           ln["LayerNorm_0"]["bias"],
                           fc2["kernel"], fc2["bias"])
             )
-            masks = upscale_hyper_ad(x, params, hyper_in, self.dtype)
+
+        if (
+            not self.is_initializing()
+            and interp_upscale_dispatch_ok(
+                N, x.shape[1], D // 2, C, self.dtype,
+                m=x.shape[0] // geom["interp_index"].shape[0])
+        ):
+            masks = interp_upscale_hyper_ad(
+                x, geom["interp_index"], geom["interp_weight"],
+                _tail_params(), hyper_in, self.dtype)
+        elif (
+            not self.is_initializing()
+            and upscale_dispatch_ok(N, D // 2, C, self.dtype)
+        ):
+            x = interpolate_features_repeated(
+                x, geom["interp_index"], geom["interp_weight"])
+            masks = upscale_hyper_ad(x, _tail_params(), hyper_in, self.dtype)
         else:
+            x = interpolate_features_repeated(
+                x, geom["interp_index"], geom["interp_weight"])
             x = LayerNorm(dtype=self.dtype, name="output_upscaling1_norm")(x)
             x = nn.gelu(x, approximate=False)
             x = nn.Dense(D // 2, dtype=self.dtype, param_dtype=jnp.float32,

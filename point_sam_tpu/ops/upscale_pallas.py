@@ -156,6 +156,180 @@ def upscale_dispatch_ok(n: int, d: int, c: int, cdt=jnp.bfloat16) -> bool:
     return _pick_tile_n(n) > 0
 
 
+# ============================================== interp-fused variant (v2)
+#
+# kbench7 (r4, real chip): the XLA 3-NN gather+weighted-sum alone costs
+# 11.5 ms at the decode shape — 2x the whole fused tail (5.7 ms). TPU
+# gathers are row-rate/HBM-bound: [B, N, 3] indices pulling 4 KB rows of
+# the M-folded [B, G, M*D] table materialize ~1.2 GB of intermediate.
+# This variant instead builds each query tile's sparse interpolation
+# matrix W [T, G] (three weighted one-hots, pure VPU compares) in VMEM
+# and computes interp = W @ h1 on the MXU — 680x the minimal gather
+# FLOPs, but MXU FLOPs are ~3x faster than the gather's effective HBM
+# rate here, and the [B*M, N, D] interp tensor never exists in HBM at
+# all. Total HBM traffic: idx/w + the G-token tables + the [BM, C, N]
+# logits ≈ 25 MB (vs ~2 GB for gather + XLA tail).
+#
+# The iota shape [512, G<=2048] is the same one ops/interp_pallas.py has
+# run on-chip since r2 (the known Mosaic iota crash is at [512, 4096]).
+
+
+def _kernel_interp(
+    idx_ref, w_ref, h1_ref, s_ref, t_ref, w2_ref, b2_ref, hy_ref, o_ref,
+    *, g: int, m: int, cdt,
+):
+    idx = idx_ref[0]  # [T, 3] int32 (3-NN center indices)
+    wts = w_ref[0]  # [T, 3] f32 (normalized inverse-d2 weights)
+    t_rows = idx.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (t_rows, g), 1)
+    # Sparse interp matrix as three weighted one-hots. Duplicate indices
+    # (degenerate neighbor ties) ADD, matching the gather-sum semantics.
+    # Built ONCE per cloud tile and reused by all M mask replicas (the
+    # grid batches M into the block): the build is ~6 VPU passes over
+    # [T, G] — per-replica it was ~25% of the kernel.
+    wmat = sum(
+        (iota == idx[:, k:k + 1]).astype(jnp.float32) * wts[:, k:k + 1]
+        for k in range(3)
+    ).astype(cdt)  # [T, G]
+    for j in range(m):  # static unroll over the mask replicas
+        x = jax.lax.dot_general(
+            wmat, h1_ref[j].astype(cdt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)  # [T, D] == interp(h1[j])
+        gl = _ln_gelu(x, s_ref, t_ref, cdt)
+        h = _gelu(_dense(gl, w2_ref, b2_ref, cdt), cdt)
+        o = jax.lax.dot_general(
+            hy_ref[j].astype(cdt), h.astype(cdt),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, T] — T=512 lanes are 128-aligned (the [T, C] layout
+        # wastes 125/128 store lanes)
+        o_ref[j] = o.astype(o_ref.dtype)
+
+
+_TILE2 = 512  # iota [512, G<=2048] is the on-chip-proven shape
+
+
+@functools.partial(jax.jit, static_argnames=("cdt", "interpret"))
+def interp_upscale_hyper_fused(
+    h1: jnp.ndarray,
+    index: jnp.ndarray,
+    weight: jnp.ndarray,
+    params: tuple,
+    hyper: jnp.ndarray,
+    *,
+    cdt=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """3-NN interp + LN -> GELU -> Dense -> GELU -> hypernet-dot, fused.
+
+    Args:
+        h1: [BM, G, D] Dense_0-projected pc tokens (BM = B*M replicas).
+        index/weight: [B, N, 3] cached 3-NN geometry, shared across the M
+            mask replicas of each cloud.
+        params: (ln_scale, ln_bias, w2, b2) as in upscale_hyper_fused.
+        hyper: [BM, C, D].
+
+    Returns: mask logits [BM, C, N] fp32.
+    """
+    BM, G, D = h1.shape
+    B, N = index.shape[:2]
+    M = BM // B
+    C = hyper.shape[1]
+    t = _TILE2
+    n_pad = -(-N // t) * t
+    if n_pad != N:
+        # Pad with idx 0 / weight 0: padded rows produce finite garbage
+        # (LN of the zero vector) that the final slice drops.
+        index = jnp.pad(index, ((0, 0), (0, n_pad - N), (0, 0)))
+        weight = jnp.pad(weight, ((0, 0), (0, n_pad - N), (0, 0)))
+    s, tt, w, b = params
+    vecs = (s.reshape(1, -1), tt.reshape(1, -1), w, b.reshape(1, -1))
+    full = lambda p: pl.BlockSpec(p.shape, lambda bm, n: (0, 0))
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_interp, g=G, m=M, cdt=cdt),
+        grid=(B, n_pad // t),
+        in_specs=[
+            pl.BlockSpec((1, t, 3), lambda b, n: (b, n, 0)),
+            pl.BlockSpec((1, t, 3), lambda b, n: (b, n, 0)),
+            # All M replica tables in one block, constant over the inner
+            # grid axis: stays VMEM-resident across a cloud's N tiles.
+            pl.BlockSpec((M, G, D), lambda b, n: (b, 0, 0)),
+            *[full(p) for p in vecs],
+            pl.BlockSpec((M, C, D), lambda b, n: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((M, C, t), lambda b, n: (b, 0, n)),
+        out_shape=jax.ShapeDtypeStruct((BM, C, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=96 * 2**20,
+        ),
+        interpret=interpret,
+    )(index.astype(jnp.int32), weight.astype(jnp.float32), h1, *vecs, hyper)
+    return out[..., :N]
+
+
+def interp_upscale_dispatch_ok(n: int, g: int, d: int, c: int,
+                               cdt=jnp.bfloat16, m: int = 1) -> bool:
+    """Static gate for the interp-fused kernel: TPU backend, the proven
+    iota width (G <= 2048), MXU-friendly D, small C, and all M replica
+    tables fitting the VMEM block budget."""
+    if jax.default_backend() != "tpu":
+        return False
+    if g > 2048 or g % 128 or d % 128 or d > 1024 or c > 8:
+        return False
+    if m * g * d * jnp.dtype(cdt).itemsize > 32 * 2**20:
+        return False
+    return n >= 8
+
+
+def interp_upscale_reference(h1, index, weight, params, hyper, *, cdt):
+    """XLA chain for the backward recompute: gather-interp (the module
+    path, ops/interp.py::interpolate_features_repeated) + the upscale
+    tail reference."""
+    from .interp import interpolate_features_repeated
+
+    x = interpolate_features_repeated(h1, index, weight)
+    return upscale_hyper_reference(x, params, hyper, cdt=cdt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def interp_upscale_hyper_ad(h1, index, weight, params, hyper, cdt):
+    """interp_upscale_hyper_fused with an XLA-recompute backward. The
+    geometry (index/weight) is stop-gradient by contract (tokenizer
+    geometry); its cotangents are zero."""
+    return interp_upscale_hyper_fused(h1, index, weight, params, hyper,
+                                      cdt=cdt)
+
+
+def _fwd2(h1, index, weight, params, hyper, cdt):
+    out = interp_upscale_hyper_fused(h1, index, weight, params, hyper,
+                                     cdt=cdt)
+    return out, (h1, index, weight, params, hyper)
+
+
+def _bwd2(cdt, res, g):
+    import numpy as np
+
+    h1, index, weight, params, hyper = res
+    _, vjp = jax.vjp(
+        lambda h_, p_, hy_: interp_upscale_reference(
+            h_, index, weight, p_, hy_, cdt=cdt),
+        h1, params, hyper,
+    )
+    dh1, dparams, dhyper = vjp(g)
+    # index is integer -> float0 cotangent; weight is stop-gradient
+    # geometry by contract -> zeros.
+    didx = np.zeros(index.shape, dtype=jax.dtypes.float0)
+    return dh1, didx, jnp.zeros_like(weight), dparams, dhyper
+
+
+interp_upscale_hyper_ad.defvjp(_fwd2, _bwd2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def upscale_hyper_ad(x, params, hyper, cdt):
     """upscale_hyper_fused with an XLA-recompute backward (Pallas kernels

@@ -135,12 +135,13 @@ def main():
     def measure_xla():
         from point_sam_tpu.ops import upscale_pallas as up
 
-        orig = up.upscale_dispatch_ok
+        orig = up.upscale_dispatch_ok, up.interp_upscale_dispatch_ok
         up.upscale_dispatch_ok = lambda *a, **k: False
+        up.interp_upscale_dispatch_ok = lambda *a, **k: False
         try:
             return timed_scan(run_decode, pc_stack, consts=variables)
         finally:
-            up.upscale_dispatch_ok = orig
+            up.upscale_dispatch_ok, up.interp_upscale_dispatch_ok = orig
 
     stage("decode_xla", measure_xla)
 
@@ -178,6 +179,13 @@ def main():
     stage("upscale_ref", lambda: timed_scan(
         lambda c, x, h: upscale_hyper_reference(x, ups, h, cdt=cdt),
         x_stack, hyper_stack))
+
+    from point_sam_tpu.ops.upscale_pallas import interp_upscale_hyper_fused
+
+    stage("interp_upscale_fused", lambda: timed_scan(
+        lambda c, s, h: interp_upscale_hyper_fused(
+            s, geom["interp_index"], geom["interp_weight"], ups, h, cdt=cdt),
+        src_stack, hyper_stack))
 
     print(json.dumps({k: (round(v * 1e3, 3) if isinstance(v, float) else v)
                       for k, v in state.items()}))

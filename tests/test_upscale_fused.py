@@ -117,14 +117,99 @@ class TestUpscaleFused:
             np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
                                        atol=1e-6)
 
+    @pytest.mark.parametrize("b,m,n,c", [(2, 2, 100, 3), (1, 1, 512, 1)])
+    def test_interp_fused_matches_reference(self, b, m, n, c):
+        """Interp-in-kernel variant (weighted one-hot matmul) vs the XLA
+        gather + tail reference, including the N padding path."""
+        from point_sam_tpu.ops.upscale_pallas import (
+            interp_upscale_hyper_fused,
+            interp_upscale_reference,
+        )
+
+        rng = np.random.default_rng(7)
+        g, d = 32, 128
+        h1 = jnp.asarray(
+            rng.standard_normal((b * m, g, d)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, g, (b, n, 3)).astype(np.int32))
+        w = jnp.asarray(rng.dirichlet(np.ones(3), (b, n)).astype(np.float32))
+        _, params, _ = _make(d=d)
+        hyper = jnp.asarray(
+            rng.standard_normal((b * m, c, d)).astype(np.float32))
+        want = interp_upscale_reference(h1, idx, w, params, hyper,
+                                        cdt=jnp.float32)
+        got = interp_upscale_hyper_fused(h1, idx, w, params, hyper,
+                                         cdt=jnp.float32, interpret=True)
+        assert got.shape == (b * m, c, n)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_interp_fused_duplicate_indices(self):
+        """Degenerate 3-NN triples (duplicate center indices) must ADD in
+        the one-hot matrix, matching gather-sum semantics."""
+        from point_sam_tpu.ops.upscale_pallas import (
+            interp_upscale_hyper_fused,
+            interp_upscale_reference,
+        )
+
+        rng = np.random.default_rng(8)
+        b, m, g, n, d, c = 1, 1, 16, 16, 128, 2
+        h1 = jnp.asarray(rng.standard_normal((b, g, d)).astype(np.float32))
+        idx = jnp.asarray(
+            np.stack([np.full((n,), 5), np.full((n,), 5),
+                      rng.integers(0, g, n)], -1)[None].astype(np.int32))
+        w = jnp.asarray(rng.dirichlet(np.ones(3), (b, n)).astype(np.float32))
+        _, params, _ = _make(d=d)
+        hyper = jnp.asarray(rng.standard_normal((b, c, d)).astype(np.float32))
+        want = interp_upscale_reference(h1, idx, w, params, hyper,
+                                        cdt=jnp.float32)
+        got = interp_upscale_hyper_fused(h1, idx, w, params, hyper,
+                                         cdt=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_interp_fused_backward(self):
+        """_bwd2 (XLA recompute) == jax.vjp of the interp+tail reference."""
+        from point_sam_tpu.ops.upscale_pallas import (
+            _bwd2,
+            interp_upscale_reference,
+        )
+
+        rng = np.random.default_rng(9)
+        b, m, g, n, d, c = 1, 2, 16, 24, 128, 3
+        h1 = jnp.asarray(
+            rng.standard_normal((b * m, g, d)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, g, (b, n, 3)).astype(np.int32))
+        w = jnp.asarray(rng.dirichlet(np.ones(3), (b, n)).astype(np.float32))
+        _, params, _ = _make(d=d)
+        hyper = jnp.asarray(
+            rng.standard_normal((b * m, c, d)).astype(np.float32))
+        gg = jnp.ones((b * m, c, n), jnp.float32)
+        dh1, didx, dw, dp, dh = _bwd2(
+            jnp.float32, (h1, idx, w, params, hyper), gg)
+        _, vjp = jax.vjp(
+            lambda h_, p_, hy_: interp_upscale_reference(
+                h_, idx, w, p_, hy_, cdt=jnp.float32),
+            h1, params, hyper,
+        )
+        wh1, wp, why = vjp(gg)
+        np.testing.assert_allclose(np.asarray(dh1), np.asarray(wh1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(why),
+                                   atol=1e-6)
+        assert didx.dtype == jax.dtypes.float0
+        assert not np.asarray(dw).any()
+
     def test_tile_and_gate(self):
         assert _pick_tile_n(100_000) == 4000
         assert _pick_tile_n(4096) == 4096
         assert _pick_tile_n(104, 4096) == 104  # 104 % 8 == 0
         assert _pick_tile_n(100) == 0  # no %8 divisor
         assert _pick_tile_n(7) == 0
-        # CPU backend: gate must refuse (fused path unreachable in tests).
+        # CPU backend: gates must refuse (fused paths unreachable in tests).
+        from point_sam_tpu.ops.upscale_pallas import interp_upscale_dispatch_ok
+
         assert not upscale_dispatch_ok(100_000, 256, 3)
+        assert not interp_upscale_dispatch_ok(100_000, 2048, 256, 3)
 
 
 class TestDecoderUsesHoist:

@@ -417,6 +417,46 @@ def check_upscale_fused():
     return f"rel diff {rel:.1e} vs XLA ref  [BM=8, N=100k, D=256, C=3]"
 
 
+def check_interp_upscale_fused():
+    """Interp-in-kernel decode tail (weighted one-hot matmul + LN-GELU-
+    Dense-GELU-hyperdot) at the eval decode shape vs the XLA gather+tail
+    reference, on the real chip (bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from point_sam_tpu.ops.upscale_pallas import (
+        interp_upscale_dispatch_ok,
+        interp_upscale_hyper_fused,
+        interp_upscale_reference,
+    )
+
+    assert interp_upscale_dispatch_ok(100_000, 2048, 256, 3, jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    b, m, g, n, d, c = 1, 8, 2048, 100_000, 256, 3
+    h1 = jnp.asarray(rng.standard_normal((b * m, g, d)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, g, (b, n, 3)), jnp.int32)
+    w = jnp.asarray(rng.dirichlet(np.ones(3), (b, n)), jnp.float32)
+    params = tuple(
+        jnp.asarray(a, jnp.float32)
+        for a in (
+            rng.standard_normal(d) * 0.2 + 1.0,
+            rng.standard_normal(d) * 0.1,
+            rng.standard_normal((d, d)) / np.sqrt(d),
+            rng.standard_normal(d) * 0.1,
+        )
+    )
+    hyper = jnp.asarray(rng.standard_normal((b * m, c, d)), jnp.bfloat16)
+    got = np.asarray(
+        interp_upscale_hyper_fused(h1, idx, w, params, hyper,
+                                   cdt=jnp.bfloat16))
+    want = np.asarray(
+        jax.jit(lambda *a: interp_upscale_reference(*a, cdt=jnp.bfloat16))(
+            h1, idx, w, params, hyper))
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+    assert rel < 2e-2, f"interp-fused rel diff {rel:.4f} vs XLA reference"
+    return f"rel diff {rel:.1e} vs XLA ref  [BM=8, N=100k, G=2048, D=256]"
+
+
 def main():
     _setup()
     print("compiling + checking kernels on the real chip:")
@@ -431,6 +471,7 @@ def main():
     _check("patch_encoder_fused fwd+bwd (mask)",
            lambda: check_patch_encoder(1024, 256, 4, "G=1024 K=256 C=4"))
     _check("upscale_hyper_fused (decode)", check_upscale_fused)
+    _check("interp_upscale_fused (decode)", check_interp_upscale_fused)
     if _FAILURES:
         print(f"tpu_smoke: {len(_FAILURES)} FAILED: {_FAILURES}")
         sys.exit(1)
