@@ -196,9 +196,11 @@ def patch_encoder_fused(
     B = grouped.shape[0]
     G, K = num_groups, group_size
     if rows_target is None:
-        # fp32 compute doubles every VMEM intermediate; halve the tile so
-        # the working set stays inside the 16 MB scoped-vmem limit.
-        rows_target = 4096 if jnp.dtype(cdt).itemsize <= 2 else 2048
+        # 2048 beats 4096/8192 at the eval config (kbench5 r4: 6.47 vs
+        # 7.38/6.89 ms) — the smaller working set double-buffers better
+        # against the input-block streaming. fp32 compute doubles every
+        # VMEM intermediate; same tile keeps it inside the scoped limit.
+        rows_target = 2048
     tg = _pick_tile(G, K, rows_target)
     rows = tg * K
     c_out = params[10].shape[1]
@@ -206,6 +208,15 @@ def patch_encoder_fused(
     vecs = tuple(
         p.reshape(1, -1) if p.ndim == 1 else p for p in params
     )
+    if jnp.dtype(cdt).itemsize == 2:
+        # Stream weight MATRICES at the compute dtype (half the param HBM
+        # traffic; kbench5 params_bf16). Numerics identical: the kernel
+        # casts matmul operands to cdt anyway. LN scale/bias and biases
+        # stay fp32 (applied in fp32 inside _ln_gelu).
+        vecs = tuple(
+            p.astype(cdt) if p.ndim == 2 and p.shape[0] > 1 else p
+            for p in vecs
+        )
     full = lambda p: pl.BlockSpec(p.shape, lambda b, g: (0, 0))
     from jax.experimental.pallas import tpu as pltpu
 
