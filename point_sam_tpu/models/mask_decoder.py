@@ -104,6 +104,13 @@ class MaskDecoder(nn.Module):
         BM = sparse_prompt_embeddings.shape[0]
         D = self.transformer_dim
 
+        # Geometry is non-differentiable by contract (tokenizer output,
+        # computed under stop_gradient). Enforce it HERE so the fused
+        # Pallas path (whose custom VJP hard-zeros the weight cotangent)
+        # and the XLA fallback have identical gradient semantics even if a
+        # caller ever passes differentiable weights (ADVICE r4).
+        interp_weight = jax.lax.stop_gradient(interp_weight)
+
         output_tokens = jnp.concatenate(
             [self.iou_token, self.mask_tokens], axis=0
         ).astype(self.dtype)

@@ -257,6 +257,14 @@ class MaskDecoderHier(nn.Module):
         iou_token_out = hs[:, 0]
         mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens]
 
+        # Geometry weights are non-differentiable by contract (same
+        # enforcement as models/mask_decoder.py; ADVICE r4 — keeps the
+        # fused VJP's zero-weight-cotangent identical to the XLA path).
+        geom = dict(geom)
+        for k in ("interp_weight", "interp_weight_21"):
+            if k in geom:
+                geom[k] = jax.lax.stop_gradient(geom[k])
+
         # Stage 2->1: interpolate G2 tokens onto G1 centers, concat level-1
         # embeddings (skip connection), project (reference :322-323).
         x = interpolate_features_repeated(

@@ -281,7 +281,23 @@ def interp_upscale_dispatch_ok(n: int, g: int, d: int, c: int,
         return False
     if g > 2048 or g % 128 or d % 128 or d > 1024 or c > 8:
         return False
-    if m * g * d * jnp.dtype(cdt).itemsize > 32 * 2**20:
+    # Whole-working-set VMEM budget (ADVICE r4: the h1 block alone is not
+    # the footprint). Per grid step the kernel holds: the M replica tables
+    # (+ pipeline double-buffer), the fp32 one-hot W and its iota/compare
+    # temps at [T, G], the hyper block, ~4 fp32 [T, D] tail intermediates
+    # and the [M, C, T] out block. Cap the estimate at 75% of the 96 MB
+    # vmem_limit_bytes so Mosaic allocation can never fail at the gate's
+    # edge (a crash there can wedge the remote TPU tunnel, CLAUDE.md).
+    ib = jnp.dtype(cdt).itemsize
+    t = _TILE2
+    est = (
+        2 * m * g * d * ib          # h1 block, double-buffered
+        + t * g * (4 + 4 + ib)      # iota + fp32 one-hot accum + cdt W
+        + 2 * m * c * d * 4         # hyper block, double-buffered
+        + 4 * t * d * 4             # x/gl/h + LN temps (fp32)
+        + 2 * m * c * t * 4         # out block, double-buffered
+    )
+    if est > 72 * 2**20:
         return False
     return n >= 8
 

@@ -33,7 +33,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     if nproc > 1:
-        jax.distributed.initialize(f"localhost:{port}", nproc, pid)
+        # Generous shutdown barrier: this host has ONE CPU core, so when the
+        # full suite is busy one worker can finish its step minutes before
+        # the other finishes compiling. The default 300 s shutdown barrier
+        # then times out (DEADLINE_EXCEEDED, 1/2 tasks at barrier) — the
+        # round-4 full-suite flake. 1200 s comfortably exceeds the parent's
+        # per-worker communicate() budget, so a real hang still fails there.
+        jax.distributed.initialize(
+            f"localhost:{port}", nproc, pid,
+            initialization_timeout=600,
+            shutdown_timeout_seconds=1200,
+        )
 
     import jax.numpy as jnp
     import numpy as np

@@ -9,6 +9,8 @@ Covers (interpret mode on the CPU backend, conftest):
 - the dispatch gate shapes.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -198,6 +200,70 @@ class TestUpscaleFused:
                                    atol=1e-6)
         assert didx.dtype == jax.dtypes.float0
         assert not np.asarray(dw).any()
+
+    def test_ad_wrapper_end_to_end_interpret(self):
+        """jax.grad THROUGH the custom_vjp wrappers with the real Pallas
+        forward in interpret mode (ADVICE r4: the plumbing-only backward
+        test could never catch a defvjp wiring bug — e.g. a swapped
+        argument order — because the fused forward was never run through
+        the _ad wrappers on CPU). Checks both the forward value and every
+        cotangent against jax.grad of the reference."""
+        import point_sam_tpu.ops.upscale_pallas as up
+
+        rng = np.random.default_rng(11)
+        b, m, g, n, d, c = 1, 2, 16, 24, 128, 3
+        h1 = jnp.asarray(rng.standard_normal((b * m, g, d)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, g, (b, n, 3)).astype(np.int32))
+        w = jnp.asarray(rng.dirichlet(np.ones(3), (b, n)).astype(np.float32))
+        _, params, _ = _make(d=d)
+        hyper = jnp.asarray(
+            rng.standard_normal((b * m, c, d)).astype(np.float32))
+
+        orig_interp, orig_plain = (up.interp_upscale_hyper_fused,
+                                   up.upscale_hyper_fused)
+        try:
+            up.interp_upscale_hyper_fused = functools.partial(
+                orig_interp, interpret=True)
+            up.upscale_hyper_fused = functools.partial(
+                orig_plain, interpret=True)
+
+            def loss_fused(h_, p_, hy_):
+                out = up.interp_upscale_hyper_ad(h_, idx, w, p_, hy_,
+                                                 jnp.float32)
+                return jnp.sum(out * out), out
+
+            def loss_ref(h_, p_, hy_):
+                out = up.interp_upscale_reference(h_, idx, w, p_, hy_,
+                                                  cdt=jnp.float32)
+                return jnp.sum(out * out), out
+
+            (lv, out), grads = jax.value_and_grad(
+                loss_fused, argnums=(0, 1, 2), has_aux=True)(h1, params, hyper)
+            (lw, want_out), wgrads = jax.value_and_grad(
+                loss_ref, argnums=(0, 1, 2), has_aux=True)(h1, params, hyper)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                                       atol=2e-4, rtol=2e-4)
+            for got_t, want_t in zip(jax.tree_util.tree_leaves(grads),
+                                     jax.tree_util.tree_leaves(wgrads)):
+                np.testing.assert_allclose(np.asarray(got_t),
+                                           np.asarray(want_t),
+                                           atol=5e-3, rtol=5e-3)
+
+            # The plain (gather-outside) wrapper too: upscale_hyper_ad.
+            x = jnp.asarray(
+                rng.standard_normal((b * m, 64, d)).astype(np.float32))
+            hy2 = jnp.asarray(
+                rng.standard_normal((b * m, c, d)).astype(np.float32))
+            gf = jax.grad(lambda x_: jnp.sum(
+                up.upscale_hyper_ad(x_, params, hy2, jnp.float32) ** 2))(x)
+            gr = jax.grad(lambda x_: jnp.sum(
+                up.upscale_hyper_reference(x_, params, hy2,
+                                           cdt=jnp.float32) ** 2))(x)
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=5e-3, rtol=5e-3)
+        finally:
+            up.interp_upscale_hyper_fused = orig_interp
+            up.upscale_hyper_fused = orig_plain
 
     def test_tile_and_gate(self):
         assert _pick_tile_n(100_000) == 4000
