@@ -192,8 +192,44 @@ class MaskDecoder(nn.Module):
 
         C = hyper_in.shape[1]
         N = interp_index.shape[1]
+        masks = None
+        if (
+            not self.is_initializing()
+            and self.point_mesh is not None
+            and N % self.point_mesh.shape[self.point_axis] == 0
+            and interp_upscale_dispatch_ok(
+                N // self.point_mesh.shape[self.point_axis],
+                src.shape[1], D, C, self.dtype,
+                m=BM // interp_index.shape[0])
+        ):
+            # Sharded fused decode (VERDICT r4 #5): the N tiles of the
+            # interp-fused kernel are independent, so run the kernel
+            # per-shard under shard_map — tokens/hyper replicated, the
+            # 3-NN geometry and the [B*M, C, N] logits split on the point
+            # axis. Giant-scene eval (for_sharded_eval) now gets the same
+            # kernel as single-device decode instead of the XLA
+            # gather+tail chain it used to fall back to.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P_
+
+            ax = self.point_axis
+            dt = self.dtype
+
+            def _local_fused(h1, idx, wts, prm, hy):
+                return interp_upscale_hyper_ad(h1, idx, wts, prm, hy, dt)
+
+            masks = shard_map(
+                _local_fused, mesh=self.point_mesh,
+                in_specs=(P_(), P_(None, ax, None), P_(None, ax, None),
+                          P_(), P_()),
+                out_specs=P_(None, None, ax),
+                check_vma=False,
+            )(src, interp_index, interp_weight,
+              self._upscale_tail_params(), hyper_in)
         fusable = not self.is_initializing() and self.point_mesh is None
-        if fusable and interp_upscale_dispatch_ok(
+        if masks is not None:
+            pass
+        elif fusable and interp_upscale_dispatch_ok(
                 N, src.shape[1], D, C, self.dtype,
                 m=BM // interp_index.shape[0]):
             # Fully fused decode tail: 3-NN interp (as a weighted one-hot

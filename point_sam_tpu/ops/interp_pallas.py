@@ -23,6 +23,13 @@ from jax.experimental import pallas as pl
 _K = 3
 
 
+def tile_q_ok(g: int, tile_q: int) -> bool:
+    """True if the [tile_q, G] fp32 distance block stays within 8 MB —
+    the budget that leaves room for double-buffering under the 16 MB
+    default scoped-VMEM limit."""
+    return tile_q * g * 4 <= 8 * 2**20
+
+
 def _interp_kernel(q_ref, k_ref, idx_ref, w_ref, *, g: int, eps: float):
     # q [1, tq, 3], k [1, G, 3] -> idx/w [1, tq, K]
     q = q_ref[0]  # [tq, 3]
@@ -63,16 +70,18 @@ def interp_weights_pallas(
     key: jnp.ndarray,
     *,
     eps: float = 1e-8,
-    # 512 keeps the [tile_q, G] distance block at 4 MB for G=2048 — the
-    # whole working set (block + in/out double buffers) must fit the 16 MB
-    # VMEM scoped limit; 2048 OOMs at G=2048.
-    tile_q: int = 512,
+    # None = adaptive: 1024 rows while the [tile_q, G] fp32 distance block
+    # stays <= 8 MB (kbench8 r5: 2.44 ms vs 2.73 at 512 for G=2048,
+    # N=100k), else 512 (2048-row tiles OOM the 16 MB scoped VMEM).
+    tile_q: int | None = None,
     interpret: bool = False,
 ):
     """(idx [B, N, 3] int32, weight [B, N, 3] f32); matches
     ops.compute_interp_weights semantics (first-index tie-breaking)."""
     B, N, _ = query.shape
     G = key.shape[1]
+    if tile_q is None:
+        tile_q = 1024 if tile_q_ok(G, 1024) else 512
     n_pad = -(-N // tile_q) * tile_q
     q = query.astype(jnp.float32)
     if n_pad != N:

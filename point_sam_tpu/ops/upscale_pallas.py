@@ -312,6 +312,43 @@ def interp_upscale_reference(h1, index, weight, params, hyper, *, cdt):
     return upscale_hyper_reference(x, params, hyper, cdt=cdt)
 
 
+def interp_matrix(index, weight, g: int):
+    """Dense interpolation matrix W [B, N, G]: three weighted one-hots
+    (duplicate indices ADD — gather-sum semantics, same construction as
+    the fused kernel's in-VMEM wmat)."""
+    iota = jnp.arange(g, dtype=index.dtype)
+    return sum(
+        (index[..., k, None] == iota) * weight[..., k, None]
+        for k in range(3)
+    )
+
+
+# Use the matmul-form recompute in the backward when the dense [B, N, G]
+# interp matrix stays modest (64 MB fp32 per batch row at the cap). Covers
+# the TRAIN shape (N=10k x G=1024 = 10M) where it matters; giant eval
+# shapes fall back to the gather form (they never backprop).
+_BWD_MATMUL_MAX_ELEMENTS = 1 << 24
+
+
+def interp_upscale_reference_matmul(h1, index, weight, params, hyper, *,
+                                    cdt):
+    """interp_upscale_reference with the 3-NN gather-sum expressed as a
+    dense [N, G] matmul (VERDICT r4 #4). Same values up to fp32 summation
+    order; the payoff is the BACKWARD: jax.vjp of a gather emits a TPU
+    scatter-add over the [B*M, N, 3, D] cotangents (the dominant
+    decode-tail cost in the train step), while the vjp of this form is
+    dh1 = W^T @ dx — a plain MXU matmul."""
+    BM, G, D = h1.shape
+    B, N = index.shape[:2]
+    M = BM // B
+    wmat = interp_matrix(index, weight, G).astype(cdt)  # [B, N, G]
+    x = jnp.einsum(
+        "bng,bmgd->bmnd", wmat,
+        h1.reshape(B, M, G, D).astype(cdt),
+    ).reshape(BM, N, D)
+    return upscale_hyper_reference(x, params, hyper, cdt=cdt)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def interp_upscale_hyper_ad(h1, index, weight, params, hyper, cdt):
     """interp_upscale_hyper_fused with an XLA-recompute backward. The
@@ -331,8 +368,14 @@ def _bwd2(cdt, res, g):
     import numpy as np
 
     h1, index, weight, params, hyper = res
+    n, g_tokens = index.shape[1], h1.shape[1]
+    ref = (
+        interp_upscale_reference_matmul
+        if n * g_tokens <= _BWD_MATMUL_MAX_ELEMENTS
+        else interp_upscale_reference
+    )
     _, vjp = jax.vjp(
-        lambda h_, p_, hy_: interp_upscale_reference(
+        lambda h_, p_, hy_: ref(
             h_, index, weight, p_, hy_, cdt=cdt),
         h1, params, hyper,
     )

@@ -194,10 +194,13 @@ class TestUpscaleFused:
             h1, params, hyper,
         )
         wh1, wp, why = vjp(gg)
+        # _bwd2 may recompute via the matmul form (interp as a dense
+        # [N, G] matrix), which reorders the fp32 gather-sum — tolerate
+        # last-ulp summation-order noise.
         np.testing.assert_allclose(np.asarray(dh1), np.asarray(wh1),
-                                   atol=1e-6)
+                                   atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(dh), np.asarray(why),
-                                   atol=1e-6)
+                                   atol=1e-5, rtol=1e-5)
         assert didx.dtype == jax.dtypes.float0
         assert not np.asarray(dw).any()
 
