@@ -96,6 +96,7 @@ class PointNetLayer(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: Dtype = jnp.float32
+    act: str = "erf"
 
     @nn.compact
     def __call__(self, x):
@@ -103,7 +104,7 @@ class PointNetLayer(nn.Module):
         x = x.reshape(-1, shape[-1])
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = LayerNorm(dtype=self.dtype)(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.act == "tanh")
         x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
         return x.reshape(shape[:-1] + (self.out_dim,))
 

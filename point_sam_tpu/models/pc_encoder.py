@@ -34,6 +34,7 @@ class PatchEmbed(nn.Module):
     out_channels: int = 512
     hidden_dims: Sequence[int] = (128, 512)
     dtype: Dtype = jnp.float32
+    act: str = "erf"
 
     @nn.compact
     def __call__(self, coords, features, geom: dict) -> jnp.ndarray:
@@ -48,7 +49,7 @@ class PatchEmbed(nn.Module):
         )  # [B, G, K, 3 + C]
         return PatchEncoder(
             self.out_channels, self.hidden_dims, dtype=self.dtype,
-            name="patch_encoder",
+            act=self.act, name="patch_encoder",
         )(group_feats)
 
 

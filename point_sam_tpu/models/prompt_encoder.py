@@ -90,10 +90,11 @@ class MaskEncoder(nn.Module):
     hidden_dims: Sequence[int] = (128, 512)
     radius: float | None = None
     dtype: Dtype = jnp.float32
+    act: str = "erf"
 
     def setup(self):
         self.patch_encoder = PatchEncoder(
-            self.embed_dim, self.hidden_dims, dtype=self.dtype
+            self.embed_dim, self.hidden_dims, dtype=self.dtype, act=self.act
         )
         self.no_mask_embed = self.param(
             "no_mask_embed", nn.initializers.normal(1.0), (self.embed_dim,),

@@ -94,7 +94,7 @@ def _gelu(x, cdt):
     return y.astype(cdt)
 
 
-def _ln_gelu(x, s_ref, b_ref, cdt):
+def _ln_gelu(x, s_ref, b_ref, cdt, act: str = "erf"):
     """LayerNorm -> GELU in ONE fp32 region.
 
     The separate _layernorm/_gelu pair casts fp32->cdt->fp32 between the
@@ -103,12 +103,25 @@ def _ln_gelu(x, s_ref, b_ref, cdt):
     the fusion is bit-identical (the casts were no-ops); in bf16 it skips
     one rounding of the GELU input — well inside the kernel's bf16
     tolerance (tests/tpu_smoke.py, 2e-2) and unobservable after the final
-    cast in practice."""
+    cast in practice.
+
+    ``act="tanh"``: LN stats stay fp32 (framework convention), but the
+    scale/bias apply and the tanh-approx GELU run in the compute dtype —
+    the kbench5 r5 operating point (5.46 ms vs 7.17 erf at the eval
+    config; the erf polynomial + fp32 apply is ~1.7 ms of pure VPU time).
+    The tanh approximation deviates from exact GELU by <= ~3e-4 — an
+    order of magnitude below one bf16 ulp of the activations it feeds —
+    and is the same approximation torch exposes as
+    ``nn.GELU(approximate='tanh')``."""
     x32 = x.astype(jnp.float32)
     m = jnp.mean(x32, axis=-1, keepdims=True)
     c = x32 - m
     v = jnp.mean(c * c, axis=-1, keepdims=True)
     y = c * jax.lax.rsqrt(v + 1e-5)
+    if act == "tanh":
+        yc = (y.astype(cdt) * s_ref[...].astype(cdt)
+              + b_ref[...].astype(cdt))
+        return jax.nn.gelu(yc, approximate=True)
     y = y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
     # NOTE: the unfused module path rounds the LN output to cdt before GELU;
     # this fusion keeps full fp32 into the GELU (one fewer bf16 rounding).
@@ -124,11 +137,11 @@ def _kernel(
     w1a_ref, b1a_ref, s1_ref, t1_ref, w1b_ref, b1b_ref,
     w2a_ref, b2a_ref, s2_ref, t2_ref, w2b_ref, b2b_ref,
     o_ref,
-    *, tg: int, k: int, cdt,
+    *, tg: int, k: int, cdt, act: str = "erf",
 ):
     x = x_ref[0]  # [Tg*K, C_in]
     h = _dense(x, w1a_ref, b1a_ref, cdt)
-    h = _ln_gelu(h, s1_ref, t1_ref, cdt)
+    h = _ln_gelu(h, s1_ref, t1_ref, cdt, act)
     h = _dense(h, w1b_ref, b1b_ref, cdt)  # [Tg*K, H0]
 
     h0 = h.shape[-1]
@@ -151,7 +164,7 @@ def _kernel(
         (up_pt.reshape(tg, k, h1) + up_pool[:, None, :]).reshape(tg * k, h1)
     ).astype(cdt) + b2a_ref[...].astype(cdt)
 
-    h = _ln_gelu(h, s2_ref, t2_ref, cdt)
+    h = _ln_gelu(h, s2_ref, t2_ref, cdt, act)
     h = _dense(h, w2b_ref, b2b_ref, cdt)  # [Tg*K, C_out]
 
     co = h.shape[-1]
@@ -169,7 +182,7 @@ def _pick_tile(num_groups: int, group_size: int, rows_target: int = 4096) -> int
 @functools.partial(
     jax.jit,
     static_argnames=("num_groups", "group_size", "cdt", "rows_target",
-                     "interpret"),
+                     "act", "interpret"),
 )
 def patch_encoder_fused(
     grouped: jnp.ndarray,
@@ -179,6 +192,7 @@ def patch_encoder_fused(
     group_size: int,
     cdt=jnp.bfloat16,
     rows_target: int | None = None,
+    act: str = "erf",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused patch encoder forward.
@@ -221,7 +235,7 @@ def patch_encoder_fused(
     from jax.experimental.pallas import tpu as pltpu
 
     return pl.pallas_call(
-        functools.partial(_kernel, tg=tg, k=K, cdt=cdt),
+        functools.partial(_kernel, tg=tg, k=K, cdt=cdt, act=act),
         grid=(B, G // tg),
         in_specs=[
             pl.BlockSpec((1, rows, grouped.shape[-1]), lambda b, g: (b, g, 0)),
@@ -254,7 +268,8 @@ def grad_safe_max(x, axis=-2, keepdims=False):
     return out if keepdims else jnp.squeeze(out, axis)
 
 
-def patch_encoder_reference(grouped, params, *, num_groups, group_size, cdt):
+def patch_encoder_reference(grouped, params, *, num_groups, group_size, cdt,
+                            act: str = "erf"):
     """Plain-XLA mirror of models/patch_encoder.py::PatchEncoder — used as
     the custom-VJP backward (activations recomputed, standard autodiff) and
     as the numerics oracle in tests."""
@@ -275,6 +290,8 @@ def patch_encoder_reference(grouped, params, *, num_groups, group_size, cdt):
         return ((c * jax.lax.rsqrt(v + 1e-5)) * s + t).astype(cdt)
 
     def gelu(x):
+        if act == "tanh":
+            return jax.nn.gelu(x, approximate=True)  # stays in cdt
         x32 = x.astype(jnp.float32)
         return (x32 * 0.5 * (1.0 + jax.lax.erf(x32 * _SQRT_HALF))).astype(cdt)
 
@@ -291,24 +308,27 @@ def patch_encoder_reference(grouped, params, *, num_groups, group_size, cdt):
     return grad_safe_max(h, axis=-2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def patch_encoder_fused_ad(grouped, params, num_groups, group_size, cdt):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def patch_encoder_fused_ad(grouped, params, num_groups, group_size, cdt,
+                           act="erf"):
     """patch_encoder_fused with an XLA-recompute backward (Pallas kernels
     aren't reverse-mode differentiable under remat's partial evaluation —
     same pattern as ops/attention.py::mha_pallas_ad)."""
     return patch_encoder_fused(
-        grouped, params, num_groups=num_groups, group_size=group_size, cdt=cdt
+        grouped, params, num_groups=num_groups, group_size=group_size,
+        cdt=cdt, act=act
     )
 
 
-def _fwd(grouped, params, num_groups, group_size, cdt):
+def _fwd(grouped, params, num_groups, group_size, cdt, act):
     out = patch_encoder_fused(
-        grouped, params, num_groups=num_groups, group_size=group_size, cdt=cdt
+        grouped, params, num_groups=num_groups, group_size=group_size,
+        cdt=cdt, act=act
     )
     return out, (grouped, params)
 
 
-def _bwd(num_groups, group_size, cdt, res, g):
+def _bwd(num_groups, group_size, cdt, act, res, g):
     grouped, params = res
     # The fused Pallas backward when shapes/dtype allow (bf16 TPU path);
     # otherwise recompute-and-vjp through the XLA reference.
@@ -318,7 +338,7 @@ def _bwd(num_groups, group_size, cdt, res, g):
     ):
         dx, dparams = patch_encoder_fused_bwd(
             grouped, params, g, num_groups=num_groups,
-            group_size=group_size, cdt=cdt,
+            group_size=group_size, cdt=cdt, act=act,
         )
         dparams = tuple(
             dp.astype(p.dtype) for dp, p in zip(dparams, params)
@@ -326,7 +346,8 @@ def _bwd(num_groups, group_size, cdt, res, g):
         return dx, dparams
     _, vjp = jax.vjp(
         lambda x, p: patch_encoder_reference(
-            x, p, num_groups=num_groups, group_size=group_size, cdt=cdt
+            x, p, num_groups=num_groups, group_size=group_size, cdt=cdt,
+            act=act
         ),
         grouped,
         params,
@@ -387,6 +408,19 @@ def _gelu_grad_f32(z32):
     phi_cdf = 0.5 * (1.0 + erf_f32(z32 * _SQRT_HALF))
     pdf = jnp.exp(-0.5 * z32 * z32) * jnp.float32(0.3989422804014327)
     return phi_cdf + z32 * pdf
+
+
+_GELU_C0 = 0.7978845608028654  # sqrt(2/pi)
+_GELU_C1 = 0.044715
+
+
+def _gelu_grad_tanh_f32(z32):
+    """d/dz of the tanh-approx GELU 0.5*z*(1 + tanh(c0*(z + c1*z^3)))."""
+    z2 = z32 * z32
+    u = jnp.float32(_GELU_C0) * (z32 + jnp.float32(_GELU_C1) * z32 * z2)
+    t = jnp.tanh(u)
+    du = jnp.float32(_GELU_C0) * (1.0 + 3.0 * jnp.float32(_GELU_C1) * z2)
+    return 0.5 * (1.0 + t) + 0.5 * z32 * (1.0 - t * t) * du
 
 
 def _ln_fwd_stats(a, s_ref, t_ref):
@@ -455,14 +489,31 @@ def _bwd_kernel(
     dx_ref,
     dw1a_ref, db1a_ref, ds1_ref, dt1_ref, dw1b_ref, db1b_ref,
     dw2a_ref, db2a_ref, ds2_ref, dt2_ref, dw2b_ref, db2b_ref,
-    *, tg: int, k: int, cdt,
+    *, tg: int, k: int, cdt, act: str = "erf",
 ):
+    if act == "tanh":
+        # fp32 recompute of the tanh-approx GELU; the forward's extra cdt
+        # rounding of the LN apply is one activation ulp — inside the
+        # backward's own recompute tolerance (tests compare vs jax.vjp of
+        # the reference at bf16 tolerances).
+        def _act(y32):
+            u = jnp.float32(_GELU_C0) * (
+                y32 + jnp.float32(_GELU_C1) * y32 * y32 * y32)
+            return (0.5 * y32 * (1.0 + jnp.tanh(u))).astype(cdt)
+
+        _act_grad = _gelu_grad_tanh_f32
+    else:
+        def _act(y32):
+            return (y32 * 0.5 * (1.0 + erf_f32(y32 * _SQRT_HALF))).astype(cdt)
+
+        _act_grad = _gelu_grad_f32
+
     # ---- forward recompute (identical math to _kernel, incl. the fused
     # LN->GELU fp32 region and the pooled-branch matmul split)
     x = x_ref[0]
     a1 = _dense(x, w1a_ref, b1a_ref, cdt)
     l1_32, m1, inv1 = _ln_fwd_stats(a1, s1_ref, t1_ref)
-    g1 = (l1_32 * 0.5 * (1.0 + erf_f32(l1_32 * _SQRT_HALF))).astype(cdt)
+    g1 = _act(l1_32)
     a2 = _dense(g1, w1b_ref, b1b_ref, cdt)  # [R, H0]
 
     h0 = a2.shape[-1]
@@ -478,7 +529,7 @@ def _bwd_kernel(
         (up_pt.reshape(tg, k, h1) + up_pool[:, None, :]).reshape(tg * k, h1)
     ).astype(cdt) + b2a_ref[...].astype(cdt)
     l3_32, m3, inv3 = _ln_fwd_stats(a3, s2_ref, t2_ref)
-    g3 = (l3_32 * 0.5 * (1.0 + erf_f32(l3_32 * _SQRT_HALF))).astype(cdt)
+    g3 = _act(l3_32)
     a4 = _dense(g3, w2b_ref, b2b_ref, cdt)  # [R, C_out]
 
     # ---- backward
@@ -490,7 +541,7 @@ def _bwd_kernel(
     db2b = jnp.sum(da4, axis=0, keepdims=True)
     dg3 = _dot_f32(da4c, w2b_ref[...].astype(cdt),
                    (((1,), (1,)), ((), ())))  # [R, H1] f32
-    dl3 = dg3 * _gelu_grad_f32(l3_32)
+    dl3 = dg3 * _act_grad(l3_32)
     da3_32, ds2, dt2 = _ln_bwd(dl3, a3, m3, inv3, s2_ref)
     da3 = da3_32.astype(cdt)
 
@@ -519,7 +570,7 @@ def _bwd_kernel(
     db1b = jnp.sum(da2, axis=0, keepdims=True)
     dg1 = _dot_f32(da2c, w1b_ref[...].astype(cdt),
                    (((1,), (1,)), ((), ())))
-    dl1 = dg1 * _gelu_grad_f32(l1_32)
+    dl1 = dg1 * _act_grad(l1_32)
     da1_32, ds1, dt1 = _ln_bwd(dl1, a1, m1, inv1, s1_ref)
     da1 = da1_32.astype(cdt)
 
@@ -550,7 +601,7 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_groups", "group_size", "cdt", "rows_target",
-                     "interpret"),
+                     "act", "interpret"),
 )
 def patch_encoder_fused_bwd(
     grouped: jnp.ndarray,
@@ -561,6 +612,7 @@ def patch_encoder_fused_bwd(
     group_size: int,
     cdt=jnp.bfloat16,
     rows_target: int | None = None,
+    act: str = "erf",
     interpret: bool = False,
 ):
     """Fused backward: (dgrouped, dparams-12-tuple).
@@ -590,7 +642,7 @@ def patch_encoder_fused_bwd(
         *[full_out(p) for p in vecs],
     ]
     dx, *dvecs = pl.pallas_call(
-        functools.partial(_bwd_kernel, tg=tg, k=K, cdt=cdt),
+        functools.partial(_bwd_kernel, tg=tg, k=K, cdt=cdt, act=act),
         grid=(B, G // tg),
         in_specs=[
             pl.BlockSpec((1, rows, grouped.shape[-1]), lambda b, g: (b, g, 0)),

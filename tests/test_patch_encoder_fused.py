@@ -98,7 +98,7 @@ class TestFusedPatchEncoder:
         from point_sam_tpu.ops.patch_encoder_pallas import _bwd
 
         g = jnp.ones((B, G, 32), jnp.float32)
-        (dx, dparams) = _bwd(G, K, jnp.float32, (flat, params), g)
+        (dx, dparams) = _bwd(G, K, jnp.float32, "erf", (flat, params), g)
         want_dx = jax.grad(
             lambda xx: jnp.sum(pe.apply(variables, xx))
         )(x).reshape(flat.shape)
@@ -133,6 +133,63 @@ class TestFusedPatchEncoder:
         got_dx, got_dp = patch_encoder_fused_bwd(
             flat, params, dout, num_groups=G, group_size=K,
             cdt=jnp.float32, rows_target=rows_target, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                                   rtol=1e-4, atol=1e-5)
+        for got, want in zip(got_dp, want_dp):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_tanh_act_matches_module(self):
+        """act='tanh' (PointSAMConfig.patch_act): fused kernel ==
+        PointNetLayer XLA branch with nn.gelu(approximate=True)."""
+        rng = np.random.default_rng(7)
+        B, G, K, cin, out = 2, 16, 32, 6, 64
+        x = jnp.asarray(rng.standard_normal((B, G, K, cin)).astype(np.float32))
+        pe = PatchEncoder(out_channels=out, hidden_dims=(32, 64),
+                          dtype=jnp.float32, act="tanh")
+        variables = pe.init(jax.random.PRNGKey(1), x)
+        want = pe.apply(variables, x)
+        params = _params_of(variables)
+        got = patch_encoder_fused(
+            x.reshape(B, G * K, cin), params, num_groups=G, group_size=K,
+            cdt=jnp.float32, act="tanh", interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        # tanh vs erf output deviation is bounded (~3e-4 per activation
+        # into a Lipschitz tail) — sanity-check it is small but nonzero.
+        pe_erf = PatchEncoder(out_channels=out, hidden_dims=(32, 64),
+                              dtype=jnp.float32, act="erf")
+        want_erf = pe_erf.apply(variables, x)
+        diff = float(jnp.max(jnp.abs(want - want_erf)))
+        assert 0 < diff < 5e-2
+
+    def test_tanh_fused_bwd_matches_reference_vjp(self):
+        from point_sam_tpu.ops.patch_encoder_pallas import (
+            patch_encoder_fused_bwd,
+        )
+
+        rng = np.random.default_rng(11)
+        B, G, K, cin, out = 1, 16, 32, 6, 64
+        x = jnp.asarray(rng.standard_normal((B, G, K, cin)).astype(np.float32))
+        pe = PatchEncoder(out_channels=out, hidden_dims=(32, 64),
+                          dtype=jnp.float32, act="tanh")
+        variables = pe.init(jax.random.PRNGKey(1), x)
+        params = _params_of(variables)
+        flat = x.reshape(B, G * K, cin)
+        dout = jnp.asarray(rng.standard_normal((B, G, out)).astype(np.float32))
+        _, vjp = jax.vjp(
+            lambda xx, pp: patch_encoder_reference(
+                xx, pp, num_groups=G, group_size=K, cdt=jnp.float32,
+                act="tanh",
+            ),
+            flat, params,
+        )
+        want_dx, want_dp = vjp(dout)
+        got_dx, got_dp = patch_encoder_fused_bwd(
+            flat, params, dout, num_groups=G, group_size=K,
+            cdt=jnp.float32, rows_target=256, act="tanh", interpret=True,
         )
         np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
                                    rtol=1e-4, atol=1e-5)
