@@ -233,8 +233,12 @@ def main():
     tok = TokenizerConfig(num_patches=G, patch_size=K)
     # vit_remat=False: no backward pass here, and the remat+scan encode
     # graph wedges the remote compiler (models/pc_sam.py::for_inference).
+    # patch_act="tanh": the inference operating point (r5) — tanh-approx
+    # GELU in the fused patch encoder, ~1.7 ms/cloud at this config,
+    # <=~3e-4 deviation (PointSAMConfig.patch_act; PARITY.md). The train
+    # stage above keeps erf for reference-recipe parity.
     cfg = PointSAMConfig(vit=vit, tokenizer=tok, prompt_iters=5,
-                         vit_remat=False)
+                         vit_remat=False, patch_act="tanh")
     model = PointCloudSAM(cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
 
     variables = init_variables(model, jax.random.PRNGKey(0))

@@ -26,15 +26,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _scale_folds_exactly(scale: float) -> bool:
+    """True iff multiplying by ``scale`` is exact in any binary float
+    format (a power of two — only the exponent changes). Then
+    dot(q*scale, k) is BIT-identical to dot(q, k)*scale and the fold
+    replaces a [rows, S] fp32 VPU pass with a [rows, dh] one (S/dh = 32x
+    fewer elements at the ViT-L config). dh=64 -> scale=1/8: exact."""
+    import math
+
+    m, _ = math.frexp(scale)
+    return m == 0.5
+
+
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     # block shapes: q [1, 1, bq, dh]; k, v [1, 1, S, dh]; o [1, 1, bq, dh]
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
+    fold = _scale_folds_exactly(scale)
+    if fold:  # pre-scale q: [bq, dh] multiply instead of [bq, S]
+        q = q * jnp.asarray(scale, q.dtype)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, S]
-    logits = logits * scale
+    if not fold:
+        logits = logits * scale
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -164,15 +180,19 @@ def _mha_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int,
     q = q_ref[0]  # [bq, hpb*dh]
     k = k_ref[0]  # [S, hpb*dh]
     v = v_ref[0]
+    fold = _scale_folds_exactly(scale)
     outs = []
     for j in range(heads_per_block):
         sl = slice(j * dh, (j + 1) * dh)
         qj, kj, vj = q[:, sl], k[:, sl], v[:, sl]
+        if fold:  # exact (power-of-two scale); see _scale_folds_exactly
+            qj = qj * jnp.asarray(scale, qj.dtype)
         logits = jax.lax.dot_general(
             qj, kj, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bq, S]
-        logits = logits * scale
+        if not fold:
+            logits = logits * scale
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -311,14 +331,22 @@ def _mha_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
+    fold = _scale_folds_exactly(scale)
     dqs, dks, dvs = [], [], []
     for j in range(heads_per_block):
         sl = slice(j * dh, (j + 1) * dh)
         qj, kj, vj, doj = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        # Power-of-two scale: fold onto the [S, dh] operands instead of
+        # paying two [S, S] fp32 VPU passes (logits*scale and ds*scale).
+        # Bit-exact (see _scale_folds_exactly): logits via pre-scaled q,
+        # dk = ds_u^T @ (q*scale), dq = ds_u @ (k*scale).
+        qs = qj * jnp.asarray(scale, qj.dtype) if fold else qj
         logits = jax.lax.dot_general(
-            qj, kj, (((1,), (1,)), ((), ())),
+            qs, kj, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [S, S]
+        )  # [S, S]
+        if not fold:
+            logits = logits * scale
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 [S, S]
@@ -333,12 +361,16 @@ def _mha_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
         dp = jax.lax.dot_general(
             do32, v32, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if not fold:
+            ds = ds * scale
+        kq = (kj * jnp.asarray(scale, kj.dtype)) if fold else kj
+        qq = qs if fold else qj
         dqs.append(jax.lax.dot_general(
-            ds, kj.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ds, kq.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
         dks.append(jax.lax.dot_general(
-            ds, qj.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds, qq.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
     dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)

@@ -179,6 +179,12 @@ def build_model(model_cfg: dict, dtype=None):
             "enable_mask_refinement_iterations", True
         ),
     )
+    # "erf" (reference nn.GELU parity) or "tanh" (fast fused-kernel
+    # operating point, <=~3e-4 deviation; PointSAMConfig.patch_act).
+    # Override per-run: `model.patch_act=tanh`. knn variant only.
+    patch_act = mc.pop("patch_act", "erf")
+    if variant != "knn" and patch_act != "erf":
+        raise ValueError(f"patch_act={patch_act!r} requires variant 'knn'")
 
     if variant == "knn":
         cfg = PointSAMConfig(
@@ -188,6 +194,7 @@ def build_model(model_cfg: dict, dtype=None):
                 radius=tok.get("radius"),
                 centralize_features=tok.get("centralize_features", False),
             ),
+            patch_act=patch_act,
             **common,
         )
         model = PointCloudSAM(cfg, dtype=dtype)
