@@ -20,7 +20,14 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..ops import batch_index_select, compute_interp_weights, fps, knn, nn1
+from ..ops import (
+    batch_index_select,
+    compute_interp_weights,
+    fps,
+    fps_with_interp,
+    knn,
+    nn1,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,15 +85,23 @@ def compute_geometry(
                  interp_index [B,N,3], interp_weight [B,N,3]).
     """
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
-    fps_idx = fps(coords, cfg.num_patches, valid=point_valid,
-                  candidates=cfg.fps_candidates)
+    if with_interp:
+        # Fused on TPU: the FPS selection loop already computes every
+        # center's distance field, so the 3-NN interp triplet falls out of
+        # the same VMEM-resident pass (ops.fps_with_interp) instead of a
+        # second [N, G] distance sweep.
+        fps_idx, idx, w = fps_with_interp(
+            coords, cfg.num_patches, valid=point_valid,
+            candidates=cfg.fps_candidates)
+    else:
+        fps_idx = fps(coords, cfg.num_patches, valid=point_valid,
+                      candidates=cfg.fps_candidates)
     centers = batch_index_select(coords, fps_idx, axis=1)
     _, knn_idx = knn(centers, coords, cfg.patch_size, key_valid=point_valid,
                      method=cfg.knn_method,
                      recall_target=cfg.knn_recall_target)
     out = dict(fps_idx=fps_idx, centers=centers, knn_idx=knn_idx)
     if with_interp:
-        idx, w = compute_interp_weights(coords, centers)
         out["interp_index"], out["interp_weight"] = idx, w
     return out
 

@@ -5,7 +5,7 @@ are squared Euclidean (see ops.distance).
 """
 
 from .distance import sq_dist, sq_dist_to_point
-from .fps import fps, fps_gather, fps_xla
+from .fps import fps, fps_gather, fps_with_interp, fps_xla
 from .group import (
     batch_index_select,
     group_features,
@@ -31,6 +31,7 @@ __all__ = [
     "sq_dist_to_point",
     "fps",
     "fps_gather",
+    "fps_with_interp",
     "fps_xla",
     "batch_index_select",
     "group_features",

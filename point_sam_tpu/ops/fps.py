@@ -142,6 +142,61 @@ def fps(
     return fps_xla(points, num_samples, valid=valid)
 
 
+def fps_with_interp(
+    points: jnp.ndarray,
+    num_samples: int,
+    *,
+    valid: jnp.ndarray | None = None,
+    candidates: int | None = None,
+    eps: float = 1e-8,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """FPS + 3-NN interpolation geometry, fused into one kernel when possible.
+
+    The FPS selection loop computes every selected center's distance to
+    every point — exactly the [G, N] matrix the decoder's 3-NN interp
+    weights need (reference mask_decoder.py:147-163) — so on TPU the fused
+    Pallas kernel (ops/fps_pallas.fps_interp_pallas) emits both from one
+    VMEM-resident pass, replacing the separate interp distance sweep.
+
+    Falls back to the two-pass path (``fps`` + ``compute_interp_weights``)
+    off-TPU, for approximate-FPS runs (``candidates`` restricts the
+    selection loop to a subset, so its distance fields no longer cover the
+    full cloud), and on any kernel failure.
+
+    Returns:
+        (fps_idx [B, G] int32, interp_idx [B, N, 3] int32,
+         interp_weight [B, N, 3] fp32).
+    """
+    N = points.shape[-2]
+    fused_ok = (
+        candidates is None
+        and jax.default_backend() == "tpu"
+        and num_samples % 128 == 0
+        and num_samples >= 3
+        and 4096 <= N <= 400_000  # fused per-row VMEM set is 2.2x fps_pallas's
+    )
+    if fused_ok:
+        try:
+            from .fps_pallas import fps_interp_pallas
+
+            fps_idx, idx, d2 = fps_interp_pallas(
+                points, num_samples, valid=valid
+            )
+            inv = 1.0 / jnp.maximum(d2, eps)
+            weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
+            return fps_idx, idx, weight
+        except Exception as exc:  # pragma: no cover - Mosaic regressions
+            from ._warn import warn_fallback
+
+            warn_fallback("ops.fps_with_interp", exc)
+    from .interp import compute_interp_weights
+
+    fps_idx = fps(points, num_samples, valid=valid, candidates=candidates)
+    centers = jnp.take_along_axis(points, fps_idx[..., None], axis=1)
+    idx, weight = compute_interp_weights(points, centers, eps=eps)
+    return fps_idx, idx, weight
+
+
 def fps_gather(
     points: jnp.ndarray, num_samples: int, *, valid: jnp.ndarray | None = None
 ) -> jnp.ndarray:

@@ -135,6 +135,226 @@ def _fps_kernel(first_ref, xyz_ref, mind0_ref, out_ref, mind_ref, col_ref,
         jax.lax.fori_loop(1, num_samples, body, tuple(firsts))
 
 
+def _fps_interp_kernel(first_ref, xyz_ref, mind0_ref, out_ref, b3d_ref,
+                       b3i_ref, mind_ref, col_ref, *, num_samples: int,
+                       n8: int, rows: int):
+    """FPS fused with exact 3-NN center search (interp geometry).
+
+    Identical selection loop to ``_fps_kernel`` — same stages, same
+    tie-breaks, bit-exact indices — plus a running best-3 insertion per
+    point, fed by the distance field stage 2 ALREADY computes for every
+    selected center. The separate [N, G] interpolation distance pass
+    (ops/interp_pallas.py, ~2.4 ms at N=100k/G=2048) disappears: across
+    the G selection steps this loop touches every (center, point) pair
+    once, which is exactly the matrix the 3-NN search needs.
+
+    The insertion is off the selection critical path (nothing reads
+    ``b3d``/``b3i`` until the kernel ends), so its VPU passes overlap the
+    step's reduction latencies instead of extending them.
+
+    Extra refs vs ``_fps_kernel``: b3d [rows, 24, n8] f32 and b3i
+    [rows, 24, n8] int32 VMEM outputs — sublanes [8k : 8k+8] hold the
+    k-th nearest center's squared distance / center slot for the point at
+    (n // n8, n % n8). Ties resolve to the smaller center slot (strict
+    less-than inserts after equal entries; centers are inserted in slot
+    order), matching compute_interp_weights' first-index tie-break.
+
+    The selection loop runs one extra iteration (g = num_samples) so the
+    LAST selected center's distance field — which plain FPS never needs —
+    is computed and folded into the best-3; the out-of-range selection
+    store is predicated off.
+    """
+    base = pl.program_id(0) * rows
+    mind_ref[:] = mind0_ref[:]
+    b3d_ref[:] = jnp.full_like(b3d_ref, jnp.inf)
+    b3i_ref[:] = jnp.zeros_like(b3i_ref)
+    col_ref[:] = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, 1), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
+
+    firsts = []
+    for b in range(rows):
+        f = first_ref[base + b]
+        out_ref[base + b, 0] = f
+        firsts.append(f)
+
+    def body(g, sels):
+        # Stage 1 — extract each row's current center (O(128) work).
+        centers = []
+        for b in range(rows):
+            sel = sels[b]
+            r = sel // n8
+            c = sel - r * n8
+            c0 = pl.multiple_of((c // _LANES) * _LANES, _LANES)
+            blk = xyz_ref[b, :, pl.ds(c0, _LANES)]  # [24, 128]
+            oh = ((row128 == r) & (lane128 == c - c0)).astype(jnp.float32)
+            cx = jnp.sum(blk[0:_SUBLANES] * oh, axis=(0, 1), keepdims=True)
+            cy = jnp.sum(
+                blk[_SUBLANES : 2 * _SUBLANES] * oh, axis=(0, 1), keepdims=True
+            )
+            cz = jnp.sum(
+                blk[2 * _SUBLANES : 3 * _SUBLANES] * oh,
+                axis=(0, 1),
+                keepdims=True,
+            )
+            centers.append((cx, cy, cz))
+        # Stage 2 — full-width distance update + per-row running max,
+        # plus the best-3 insertion of (d, g-1). The insertion feeds
+        # nothing this step, so it hides under the reduction latencies.
+        gi = g - 1  # slot of the center whose distances this step computes
+        maxes = []
+        for b in range(rows):
+            cx, cy, cz = centers[b]
+            x = xyz_ref[b, 0:_SUBLANES]
+            y = xyz_ref[b, _SUBLANES : 2 * _SUBLANES]
+            z = xyz_ref[b, 2 * _SUBLANES : 3 * _SUBLANES]
+            d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+            m = jnp.minimum(mind_ref[b], d)
+            mind_ref[b] = m
+            maxes.append(jnp.max(m, axis=(0, 1), keepdims=True))
+
+            b0 = b3d_ref[b, 0:_SUBLANES]
+            b1 = b3d_ref[b, _SUBLANES : 2 * _SUBLANES]
+            b2 = b3d_ref[b, 2 * _SUBLANES : 3 * _SUBLANES]
+            i0 = b3i_ref[b, 0:_SUBLANES]
+            i1 = b3i_ref[b, _SUBLANES : 2 * _SUBLANES]
+            i2 = b3i_ref[b, 2 * _SUBLANES : 3 * _SUBLANES]
+            lt0 = d < b0
+            lt1 = d < b1
+            lt2 = d < b2
+            b3d_ref[b, 2 * _SUBLANES : 3 * _SUBLANES] = jnp.where(
+                lt2, jnp.where(lt1, b1, d), b2
+            )
+            b3i_ref[b, 2 * _SUBLANES : 3 * _SUBLANES] = jnp.where(
+                lt2, jnp.where(lt1, i1, gi), i2
+            )
+            b3d_ref[b, _SUBLANES : 2 * _SUBLANES] = jnp.where(
+                lt1, jnp.where(lt0, b0, d), b1
+            )
+            b3i_ref[b, _SUBLANES : 2 * _SUBLANES] = jnp.where(
+                lt1, jnp.where(lt0, i0, gi), i1
+            )
+            b3d_ref[b, 0:_SUBLANES] = jnp.where(lt0, d, b0)
+            b3i_ref[b, 0:_SUBLANES] = jnp.where(lt0, gi, i0)
+        # Stage 3 — tie-break + store, skipped on the final extra pass.
+        new_sels = []
+        for b in range(rows):
+            t = jnp.where(mind_ref[b] == maxes[b], col_ref[:], _BIG)
+            rcol = jnp.min(t, axis=1, keepdims=True)  # [8, 1]
+            n_row = jnp.where(rcol < _BIG, row8 * n8 + rcol, _BIG)
+            sel = jnp.min(n_row)
+            new_sels.append(sel)
+
+        @pl.when(g < num_samples)
+        def _store():
+            for b in range(rows):
+                out_ref[base + b, g] = new_sels[b]
+
+        return tuple(new_sels)
+
+    jax.lax.fori_loop(1, num_samples + 1, body, tuple(firsts))
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def fps_interp_pallas(
+    points: jnp.ndarray,
+    num_samples: int,
+    *,
+    valid: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """FPS + exact 3-NN interp geometry in ONE VMEM-resident pass.
+
+    Same selection semantics as ``fps_pallas`` (bit-exact indices); the
+    3-NN squared distances use the identical explicit-difference fp32
+    formula as ops/interp_pallas.py (bit-exact vs that kernel).
+
+    Returns:
+        (fps_idx [B, G] int32, interp_idx [B, N, 3] int32 center slots,
+         interp_d [B, N, 3] fp32 squared distances, ascending).
+    """
+    if points.dtype != jnp.float32:
+        points = points.astype(jnp.float32)
+    B, N, _ = points.shape
+    if num_samples < 3:
+        raise ValueError("fps_interp_pallas requires num_samples >= 3")
+    n_pad = _round_up(N, _SUBLANES * _LANES)
+    n8 = n_pad // _SUBLANES
+
+    # Per-row VMEM: xyz 24 + mind0 8 + mind 8 + b3d 24 + b3i 24 slices.
+    per_row = _PER_ROW_F32 + 48
+    rows = max(1, min(B, _VMEM_BUDGET_BYTES // (per_row * n8 * 4)))
+    b_pad = _round_up(B, rows)
+
+    def to_cells(arr):
+        return arr.reshape(arr.shape[0], _SUBLANES, n8)
+
+    xyz = jnp.pad(points, ((0, b_pad - B), (0, n_pad - N), (0, 0)))
+    xyz = jnp.concatenate(
+        [to_cells(xyz[..., i]) for i in range(3)], axis=1
+    )  # [b_pad, 24, n8]
+
+    if valid is not None:
+        v = jnp.pad(valid, ((0, 0), (0, n_pad - N)))
+        first = jnp.argmax(v, axis=1).astype(jnp.int32)
+    else:
+        v = (jnp.arange(n_pad) < N)[None].repeat(B, axis=0)
+        first = jnp.zeros((B,), jnp.int32)
+    mind0 = to_cells(
+        jnp.pad(
+            jnp.where(v, jnp.inf, -jnp.inf).astype(jnp.float32),
+            ((0, b_pad - B), (0, 0)),
+            constant_values=-jnp.inf,
+        )
+    )
+    first = jnp.pad(first, (0, b_pad - B))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, 3 * _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((rows, _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, num_samples), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, 3 * _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((rows, 3 * _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, _SUBLANES, n8), jnp.float32),
+            pltpu.VMEM((_SUBLANES, n8), jnp.int32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _fps_interp_kernel, num_samples=num_samples, n8=n8, rows=rows
+    )
+    idx, b3d, b3i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, num_samples), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, 3 * _SUBLANES, n8), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 3 * _SUBLANES, n8), jnp.int32),
+        ],
+        interpret=interpret,
+    )(first, xyz, mind0)
+
+    # Cell layout -> [B, N, 3]: sublanes [8k : 8k+8] of slice k flatten
+    # back to linear point order (point n at (n // n8, n % n8)).
+    def from_cells(arr):  # [b_pad, 24, n8] -> [B, N, 3]
+        parts = [
+            arr[:B, 8 * k : 8 * (k + 1)].reshape(B, n_pad)[:, :N]
+            for k in range(3)
+        ]
+        return jnp.stack(parts, axis=-1)
+
+    return idx[:B], from_cells(b3i), from_cells(b3d)
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
 def fps_pallas(
     points: jnp.ndarray,

@@ -224,6 +224,62 @@ class TestFPS:
         for b in range(3):
             assert len(set(idx[b].tolist())) == 32
 
+    def _check_fps_interp(self, pts, G, valid=None):
+        """Fused kernel vs (fps_xla, interp_weights_pallas): selection must
+        be bit-exact; the 3-NN triplet must match the dedicated interp
+        kernel (identical explicit-difference fp32 distance formula)."""
+        from point_sam_tpu.ops.fps_pallas import fps_interp_pallas
+        from point_sam_tpu.ops.interp_pallas import interp_weights_pallas
+
+        pts = jnp.asarray(pts)
+        v = None if valid is None else jnp.asarray(valid)
+        fps_idx, idx, d2 = fps_interp_pallas(pts, G, valid=v, interpret=True)
+        want_fps = np.asarray(ops.fps_xla(pts, G, valid=v))
+        assert (np.asarray(fps_idx) == want_fps).all()
+
+        centers = np.take_along_axis(
+            np.asarray(pts), want_fps[..., None], axis=1
+        )
+        want_idx, want_w = interp_weights_pallas(
+            pts, jnp.asarray(centers), tile_q=128, interpret=True
+        )
+        assert (np.asarray(idx) == np.asarray(want_idx)).all()
+        inv = 1.0 / np.maximum(np.asarray(d2), 1e-8)
+        w = inv / inv.sum(-1, keepdims=True)
+        np.testing.assert_allclose(w, np.asarray(want_w), rtol=1e-6, atol=1e-7)
+
+    def test_fps_interp_pallas_matches(self, rng):
+        self._check_fps_interp(
+            rng.standard_normal((2, 1500, 3)).astype(np.float32), 128
+        )
+
+    def test_fps_interp_pallas_valid_mask(self, rng):
+        pts = rng.standard_normal((2, 1500, 3)).astype(np.float32)
+        valid = np.ones((2, 1500), bool)
+        valid[:, 1000:] = False
+        # Padded points still get interp triplets (downstream masks them);
+        # only the CENTERS (all drawn from valid points) matter here.
+        self._check_fps_interp(pts, 128, valid=valid)
+
+    def test_fps_interp_pallas_ties(self, rng):
+        """Duplicate points force exact distance ties in both the FPS
+        argmax and the 3-NN insertion ordering."""
+        base = rng.standard_normal((1, 700, 3)).astype(np.float32)
+        self._check_fps_interp(np.tile(base, (1, 2, 1)), 128)
+
+    def test_fps_with_interp_fallback_cpu(self, rng):
+        """Off-TPU the wrapper takes the two-pass path; semantics match."""
+        pts = jnp.asarray(rng.standard_normal((1, 600, 3)).astype(np.float32))
+        fps_idx, idx, w = ops.fps_with_interp(pts, 64)
+        want_fps = np.asarray(ops.fps(pts, 64))
+        assert (np.asarray(fps_idx) == want_fps).all()
+        centers = jnp.take_along_axis(pts, jnp.asarray(want_fps)[..., None],
+                                      axis=1)
+        want_idx, want_w = ops.compute_interp_weights(pts, centers)
+        assert (np.asarray(idx) == np.asarray(want_idx)).all()
+        np.testing.assert_allclose(np.asarray(w), np.asarray(want_w),
+                                   rtol=1e-6)
+
 
 class TestGroup:
     def test_batch_index_select(self, rng):

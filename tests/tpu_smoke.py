@@ -78,6 +78,35 @@ def check_fps():
     return "bit-exact vs fps_xla  [B=2, N=100k, G=2048, ragged valid]"
 
 
+def check_fps_interp():
+    """Fused FPS + 3-NN: selection bit-exact vs fps_xla; the interp triplet
+    bit-exact (indices) vs the dedicated interp kernel."""
+    import jax.numpy as jnp
+
+    from point_sam_tpu.ops.fps import fps_xla
+    from point_sam_tpu.ops.fps_pallas import fps_interp_pallas
+    from point_sam_tpu.ops.interp_pallas import interp_weights_pallas
+
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.standard_normal((1, 100_000, 3)), jnp.float32)
+    fps_idx, idx, d2 = fps_interp_pallas(pts, 2048)
+    want_fps = np.asarray(fps_xla(pts, 2048))
+    if not np.array_equal(np.asarray(fps_idx), want_fps):
+        n = int((np.asarray(fps_idx) != want_fps).sum())
+        raise AssertionError(f"fps selections differ on {n}/{want_fps.size}")
+    centers = jnp.take_along_axis(pts, jnp.asarray(want_fps)[..., None],
+                                  axis=1)
+    want_idx, want_w = interp_weights_pallas(pts, centers)
+    imatch = float((np.asarray(idx) == np.asarray(want_idx)).mean())
+    inv = 1.0 / np.maximum(np.asarray(d2, np.float64), 1e-8)
+    w = inv / inv.sum(-1, keepdims=True)
+    wdiff = float(np.abs(w - np.asarray(want_w, np.float64)).max())
+    assert imatch == 1.0, f"3-NN index match {imatch:.6f}"
+    assert wdiff < 1e-5, f"weight diff {wdiff:.2e}"
+    return (f"fps bit-exact, idx match {imatch:.6f}, w diff {wdiff:.1e}"
+            "  [N=100k, G=2048]")
+
+
 def check_mha():
     import jax
     import jax.numpy as jnp
@@ -461,6 +490,7 @@ def main():
     _setup()
     print("compiling + checking kernels on the real chip:")
     _check("fps_pallas", check_fps)
+    _check("fps_interp_pallas (fused)", check_fps_interp)
     _check("mha_pallas(+vjp)", check_mha)
     _check("mha_packed(+vjp)", check_mha_packed)
     _check("knn_approx (precision=high)", check_knn_approx)
