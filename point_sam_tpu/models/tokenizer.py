@@ -25,6 +25,7 @@ from ..ops import (
     compute_interp_weights,
     fps,
     fps_with_interp,
+    fps_with_interp_knn,
     knn,
     nn1,
 )
@@ -86,6 +87,20 @@ def compute_geometry(
     """
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
     if with_interp:
+        if cfg.fps_candidates is None and cfg.knn_method in ("auto", "approx"):
+            # Whole-geometry fusion on TPU: FPS + centers + 3-NN interp +
+            # the tokenizer k-NN all fall out of the selection loop's own
+            # distance fields (ops.fps_with_interp_knn) — no [G, N]
+            # matrix, no centers gather. Exact-kNN A/B runs (knn_method=
+            # "exact") and high recall targets take the composed path.
+            fused = fps_with_interp_knn(
+                coords, cfg.num_patches, cfg.patch_size, valid=point_valid,
+                recall_target=cfg.knn_recall_target)
+            if fused is not None:
+                fps_idx, centers, idx, w, knn_idx = fused
+                return dict(fps_idx=fps_idx, centers=centers,
+                            knn_idx=knn_idx, interp_index=idx,
+                            interp_weight=w)
         # Fused on TPU: the FPS selection loop already computes every
         # center's distance field, so the 3-NN interp triplet falls out of
         # the same VMEM-resident pass (ops.fps_with_interp) instead of a

@@ -5,7 +5,13 @@ are squared Euclidean (see ops.distance).
 """
 
 from .distance import sq_dist, sq_dist_to_point
-from .fps import fps, fps_gather, fps_with_interp, fps_xla
+from .fps import (
+    fps,
+    fps_gather,
+    fps_with_interp,
+    fps_with_interp_knn,
+    fps_xla,
+)
 from .group import (
     batch_index_select,
     group_features,
@@ -32,6 +38,7 @@ __all__ = [
     "fps",
     "fps_gather",
     "fps_with_interp",
+    "fps_with_interp_knn",
     "fps_xla",
     "batch_index_select",
     "group_features",

@@ -197,6 +197,77 @@ def fps_with_interp(
     return fps_idx, idx, weight
 
 
+def fps_with_interp_knn(
+    points: jnp.ndarray,
+    num_samples: int,
+    k: int,
+    *,
+    valid: jnp.ndarray | None = None,
+    recall_target: float = 0.9,
+    eps: float = 1e-8,
+):
+    """Whole-geometry fusion: FPS + centers + 3-NN interp + tokenizer k-NN
+    from ONE VMEM-resident Pallas pass, or ``None`` when not applicable.
+
+    Replaces the ``fps_with_interp`` + ``batch_index_select`` + ``knn``
+    composition of models/tokenizer.compute_geometry on the TPU eval/serving
+    path. Two measured costs disappear (scripts/kbench1{0,1,2}.py, B=1
+    N=100k G=2048 K=256 on v5e):
+
+    * the approx-kNN distance matrix round-trip: ``lax.approx_min_k`` is a
+      custom call, so XLA materializes the [G, N] fp32 matrix (819 MB)
+      through HBM twice — ~2.1 ms of pure bandwidth;
+    * the centers-gather layout pessimization: the gathered query fuses
+      into the distance matmul with row-major operand layouts, +1.8 ms vs
+      a sliced query.
+
+    The kernel's bin count (8 * 512 = 4096) gives expected top-k recall
+    ~= 1 - (k-1)/(2*4096) ~= 0.97 at k=256 — above the approx path's
+    measured 0.96 at the rt=0.9 operating point — so the gate requires
+    ``recall_target <= 0.93``; exact-kNN A/B runs (recall_target higher or
+    method="exact") take the unfused path.
+
+    Returns ``(fps_idx, centers, interp_idx, interp_weight, knn_idx)`` or
+    ``None`` (caller falls back to the composed path).
+
+    DISABLED BY DEFAULT (opt-in: env PSAM_FUSED_GEOM=1). On-chip r5
+    measurement (scripts/kbench13.py, v5e): fused 13.73 ms vs composed
+    7.19 ms at the flagship shape — the per-step 25-chunk bin fold plus
+    the [G, 4096] top_k tail cost more than the two HBM round-trips they
+    remove. Numerics are fully validated (tests + tpu_smoke recall 0.970);
+    revisit if the fold is restructured (fewer chunks / cheaper carry).
+    """
+    import os
+
+    B, N, _ = points.shape
+    fused_ok = (
+        os.environ.get("PSAM_FUSED_GEOM", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and B == 1  # candidate buffers are 67 MB of VMEM per program
+        and num_samples % 128 == 0
+        and 3 <= num_samples <= 2048
+        and 16_384 <= N <= 400_000
+        and 4 < k <= 1024
+        and recall_target <= 0.93
+    )
+    if not fused_ok:
+        return None
+    try:
+        from .fps_pallas import fps_interp_knn_pallas
+
+        fps_idx, centers, idx, d2, knn_idx = fps_interp_knn_pallas(
+            points, num_samples, k, valid=valid
+        )
+    except Exception as exc:  # pragma: no cover - Mosaic regressions
+        from ._warn import warn_fallback
+
+        warn_fallback("ops.fps_with_interp_knn", exc)
+        return None
+    inv = 1.0 / jnp.maximum(d2, eps)
+    weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
+    return fps_idx, centers, idx, weight, knn_idx
+
+
 def fps_gather(
     points: jnp.ndarray, num_samples: int, *, valid: jnp.ndarray | None = None
 ) -> jnp.ndarray:

@@ -256,6 +256,266 @@ def _fps_interp_kernel(first_ref, xyz_ref, mind0_ref, out_ref, b3d_ref,
     jax.lax.fori_loop(1, num_samples + 1, body, tuple(firsts))
 
 
+def _fps_interp_knn_kernel(first_ref, xyz_ref, mind0_ref, out_ref,
+                           b3d_ref, b3i_ref, cd_ref, ci_ref, mind_ref,
+                           col_ref, pm_ref, *, num_samples: int, n8: int,
+                           l_lanes: int):
+    """FPS + 3-NN interp + binned kNN candidates, one VMEM pass (rows=1).
+
+    Extends ``_fps_interp_kernel`` (same selection + interp stages,
+    bit-exact) with two additions that complete the geometry fusion:
+
+    * **kNN in-kernel kills the gather pessimization.** The production
+      composed path gathers FPS centers and XLA fuses that gather into the
+      kNN distance matmul with row-major layouts (+1.8 ms at N=100k,
+      scripts/kbench11.py). With the kNN folded in-kernel, the external
+      centers gather (done by the wrapper) feeds nothing hot. (An SMEM
+      [B, G, 3] centers output was tried and overflowed the 1 MB SMEM
+      budget by 8 KB at G=2048 — the wrapper gather is free anyway.)
+    * **kNN candidate fold.** Step g's distance field d [8, n8] — already
+      computed for the FPS min-update — is folded into ``8 * l_lanes``
+      bins (bin of point n = (n // n8, (n % n8) % l_lanes)): a pairwise
+      min-tree over the ``n8 / l_lanes`` lane chunks, carrying (distance,
+      col). This is exactly ``lax.approx_min_k``'s bin-then-top-k recipe
+      (expected top-k recall ~= 1 - (k-1)/(2 * 8 * l_lanes), ~0.969 for
+      k=256 at the default 4096 bins — above the rt=0.9 operating point's
+      measured 0.96), but the [G, N] distance matrix never exists: the
+      production approx path materializes it twice through HBM (819 MB at
+      2048 x 100k) because ``PartialReduce`` is a custom call that cannot
+      fuse its producer. Padded/invalid points are excluded by a +inf
+      additive mask derived from the -inf cells of ``mind0``.
+
+    The caller finishes with an exact ``lax.top_k`` over the 8 * l_lanes
+    bins. Reference being replaced: the tokenizer's knn_points call
+    (pc_sam/model/common.py:89-97) at eval scale (eval_kitti.py:350-362).
+
+    Extra refs vs ``_fps_interp_kernel``: cd [1, G, 8, l_lanes] f32 bin
+    min-distances, ci [1, G, 8, l_lanes] int32 global point ids, pm
+    [8, n8] f32 scratch (+inf where padded/invalid).
+    """
+    base = pl.program_id(0)
+    mind_ref[:] = mind0_ref[0]
+    pm_ref[:] = jnp.where(mind0_ref[0] == -jnp.inf,
+                          jnp.float32(jnp.inf), jnp.float32(0.0))
+    b3d_ref[:] = jnp.full_like(b3d_ref, jnp.inf)
+    b3i_ref[:] = jnp.zeros_like(b3i_ref)
+    col_ref[:] = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, 1), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, l_lanes), 1)
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, l_lanes), 0)
+    chunks = n8 // l_lanes
+
+    first = first_ref[base]
+    out_ref[base, 0] = first
+
+    def body(g, sel):
+        # Stage 1 — extract the current center (O(128) work).
+        gi = g - 1  # slot of the center whose distances this step computes
+        r = sel // n8
+        c = sel - r * n8
+        c0 = pl.multiple_of((c // _LANES) * _LANES, _LANES)
+        blk = xyz_ref[0, :, pl.ds(c0, _LANES)]  # [24, 128]
+        oh = ((row128 == r) & (lane128 == c - c0)).astype(jnp.float32)
+        cx = jnp.sum(blk[0:_SUBLANES] * oh, axis=(0, 1), keepdims=True)
+        cy = jnp.sum(
+            blk[_SUBLANES : 2 * _SUBLANES] * oh, axis=(0, 1), keepdims=True
+        )
+        cz = jnp.sum(
+            blk[2 * _SUBLANES : 3 * _SUBLANES] * oh, axis=(0, 1),
+            keepdims=True,
+        )
+        # Stage 2 — full-width distance update + per-row running max,
+        # best-3 interp insertion, and the kNN bin fold. The fold feeds
+        # nothing on the selection critical path.
+        x = xyz_ref[0, 0:_SUBLANES]
+        y = xyz_ref[0, _SUBLANES : 2 * _SUBLANES]
+        z = xyz_ref[0, 2 * _SUBLANES : 3 * _SUBLANES]
+        d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+        m = jnp.minimum(mind_ref[:], d)
+        mind_ref[:] = m
+        mx = jnp.max(m, axis=(0, 1), keepdims=True)
+
+        b0 = b3d_ref[0, 0:_SUBLANES]
+        b1 = b3d_ref[0, _SUBLANES : 2 * _SUBLANES]
+        b2 = b3d_ref[0, 2 * _SUBLANES : 3 * _SUBLANES]
+        i0 = b3i_ref[0, 0:_SUBLANES]
+        i1 = b3i_ref[0, _SUBLANES : 2 * _SUBLANES]
+        i2 = b3i_ref[0, 2 * _SUBLANES : 3 * _SUBLANES]
+        lt0 = d < b0
+        lt1 = d < b1
+        lt2 = d < b2
+        b3d_ref[0, 2 * _SUBLANES : 3 * _SUBLANES] = jnp.where(
+            lt2, jnp.where(lt1, b1, d), b2
+        )
+        b3i_ref[0, 2 * _SUBLANES : 3 * _SUBLANES] = jnp.where(
+            lt2, jnp.where(lt1, i1, gi), i2
+        )
+        b3d_ref[0, _SUBLANES : 2 * _SUBLANES] = jnp.where(
+            lt1, jnp.where(lt0, b0, d), b1
+        )
+        b3i_ref[0, _SUBLANES : 2 * _SUBLANES] = jnp.where(
+            lt1, jnp.where(lt0, i0, gi), i1
+        )
+        b3d_ref[0, 0:_SUBLANES] = jnp.where(lt0, d, b0)
+        b3i_ref[0, 0:_SUBLANES] = jnp.where(lt0, gi, i0)
+
+        # kNN bin fold: pairwise min-tree over lane chunks of the masked
+        # field. Ties keep the LEFT operand (strict < on the right), so the
+        # winner within a bin is the smallest point id.
+        dm = d + pm_ref[:]
+        ds = [dm[:, i * l_lanes : (i + 1) * l_lanes] for i in range(chunks)]
+        cs = [lane_l + i * l_lanes for i in range(chunks)]
+        while len(ds) > 1:
+            nd, nc = [], []
+            for j in range(0, len(ds) - 1, 2):
+                lt = ds[j + 1] < ds[j]
+                nd.append(jnp.where(lt, ds[j + 1], ds[j]))
+                nc.append(jnp.where(lt, cs[j + 1], cs[j]))
+            if len(ds) % 2:
+                nd.append(ds[-1])
+                nc.append(cs[-1])
+            ds, cs = nd, nc
+        cd_ref[0, gi] = ds[0]
+        ci_ref[0, gi] = row_l * n8 + cs[0]
+
+        # Stage 3 — tie-break + store, skipped on the final extra pass.
+        t = jnp.where(m == mx, col_ref[:], _BIG)
+        rcol = jnp.min(t, axis=1, keepdims=True)  # [8, 1]
+        n_row = jnp.where(rcol < _BIG, row8 * n8 + rcol, _BIG)
+        new_sel = jnp.min(n_row)
+
+        @pl.when(g < num_samples)
+        def _store():
+            out_ref[base, g] = new_sel
+
+        return new_sel
+
+    jax.lax.fori_loop(1, num_samples + 1, body, first)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "k", "l_lanes", "interpret")
+)
+def fps_interp_knn_pallas(
+    points: jnp.ndarray,
+    num_samples: int,
+    k: int,
+    *,
+    valid: jnp.ndarray | None = None,
+    l_lanes: int = 512,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """FPS + centers + exact 3-NN interp + approx k-NN in ONE VMEM pass.
+
+    Selection and interp are bit-exact vs ``fps_interp_pallas``; the k-NN
+    uses the same bin-then-top-k scheme as ``lax.approx_min_k`` (8 *
+    ``l_lanes`` bins, expected recall ~0.969 at k=256) but never
+    materializes the [G, N] distance matrix — see ``_fps_interp_knn_kernel``.
+
+    VMEM: the candidate buffers are G * 8 * l_lanes * 8 bytes (67 MB at
+    G=2048, l_lanes=512), so the caller should keep B=1 per kernel program
+    (the wrapper grids over B; ops.fps dispatch gates on B == 1).
+
+    Returns:
+        (fps_idx [B, G] int32, centers [B, G, 3] f32,
+         interp_idx [B, N, 3] int32, interp_d [B, N, 3] f32 ascending,
+         knn_idx [B, G, k] int32 sorted ascending by squared distance).
+    """
+    if points.dtype != jnp.float32:
+        points = points.astype(jnp.float32)
+    B, N, _ = points.shape
+    G = num_samples
+    if G < 3:
+        raise ValueError("fps_interp_knn_pallas requires num_samples >= 3")
+    if k > 8 * l_lanes:
+        raise ValueError(f"k={k} exceeds bin count {8 * l_lanes}")
+    # n8 must tile into l_lanes-wide chunks: n_pad % (8 * l_lanes) == 0.
+    n_pad = _round_up(N, _SUBLANES * max(_LANES, l_lanes))
+    n8 = n_pad // _SUBLANES
+
+    def to_cells(arr):
+        return arr.reshape(arr.shape[0], _SUBLANES, n8)
+
+    xyz = jnp.pad(points, ((0, 0), (0, n_pad - N), (0, 0)))
+    xyz = jnp.concatenate(
+        [to_cells(xyz[..., i]) for i in range(3)], axis=1
+    )  # [B, 24, n8]
+
+    if valid is not None:
+        v = jnp.pad(valid, ((0, 0), (0, n_pad - N)))
+        first = jnp.argmax(v, axis=1).astype(jnp.int32)
+    else:
+        v = (jnp.arange(n_pad) < N)[None].repeat(B, axis=0)
+        first = jnp.zeros((B,), jnp.int32)
+    mind0 = to_cells(jnp.where(v, jnp.inf, -jnp.inf).astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, G), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3 * _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 3 * _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, G, _SUBLANES, l_lanes),
+                         lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, G, _SUBLANES, l_lanes),
+                         lambda i, *_: (i, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_SUBLANES, n8), jnp.float32),
+            pltpu.VMEM((_SUBLANES, n8), jnp.int32),
+            pltpu.VMEM((_SUBLANES, n8), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _fps_interp_knn_kernel, num_samples=G, n8=n8, l_lanes=l_lanes
+    )
+    idx, b3d, b3i, cd, ci = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G), jnp.int32),
+            jax.ShapeDtypeStruct((B, 3 * _SUBLANES, n8), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3 * _SUBLANES, n8), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, _SUBLANES, l_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, _SUBLANES, l_lanes), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 2**20
+        ),
+        interpret=interpret,
+    )(first, xyz, mind0)
+
+    def from_cells(arr):  # [B, 24, n8] -> [B, N, 3]
+        parts = [
+            arr[:, 8 * j : 8 * (j + 1)].reshape(B, n_pad)[:, :N]
+            for j in range(3)
+        ]
+        return jnp.stack(parts, axis=-1)
+
+    # Exact top-k over the bins (the cheap final stage approx_min_k also
+    # runs); ties resolve to the lower bin index via top_k stability.
+    neg_d, pos = jax.lax.top_k(-cd.reshape(B, G, _SUBLANES * l_lanes), k)
+    knn_idx = jnp.take_along_axis(
+        ci.reshape(B, G, _SUBLANES * l_lanes), pos, axis=-1
+    )
+    # Empty bins (d=+inf) carry padded-cell ids; they are only selected in
+    # the degenerate < k-valid-points case — clamp to stay in range.
+    knn_idx = jnp.minimum(knn_idx, N - 1)
+    # Centers via a plain gather: with kNN in-kernel this gather feeds no
+    # hot matmul (the composed path's +1.8 ms layout trap, kbench11/12).
+    ctr = jnp.take_along_axis(points, idx[..., None], axis=1)
+    return idx, ctr, from_cells(b3i), from_cells(b3d), knn_idx
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
 def fps_interp_pallas(
     points: jnp.ndarray,

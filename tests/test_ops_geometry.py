@@ -267,6 +267,77 @@ class TestFPS:
         base = rng.standard_normal((1, 700, 3)).astype(np.float32)
         self._check_fps_interp(np.tile(base, (1, 2, 1)), 128)
 
+    def _check_fps_interp_knn(self, pts, G, k, valid=None, l_lanes=512,
+                              exact=True):
+        """Whole-geometry fused kernel: selection + centers + interp must be
+        bit-exact vs the dedicated kernels; the binned kNN is EXACT whenever
+        every point has its own bin (N_pad <= 8 * l_lanes)."""
+        from point_sam_tpu.ops.fps_pallas import (
+            fps_interp_knn_pallas,
+            fps_interp_pallas,
+        )
+
+        pts = jnp.asarray(pts)
+        v = None if valid is None else jnp.asarray(valid)
+        fps_idx, ctr, idx, d2, knn_idx = fps_interp_knn_pallas(
+            pts, G, k, valid=v, l_lanes=l_lanes, interpret=True
+        )
+        want_fps, want_idx, want_d2 = fps_interp_pallas(
+            pts, G, valid=v, interpret=True
+        )
+        assert (np.asarray(fps_idx) == np.asarray(want_fps)).all()
+        want_ctr = np.take_along_axis(
+            np.asarray(pts), np.asarray(want_fps)[..., None], axis=1
+        )
+        np.testing.assert_array_equal(np.asarray(ctr), want_ctr)
+        assert (np.asarray(idx) == np.asarray(want_idx)).all()
+        np.testing.assert_array_equal(np.asarray(d2), np.asarray(want_d2))
+
+        # kNN check vs brute force over VALID keys only.
+        p = np.asarray(pts)
+        B, N, _ = p.shape
+        vmask = np.ones((B, N), bool) if valid is None else np.asarray(valid)
+        got = np.asarray(knn_idx)
+        n_valid = vmask.sum(-1)
+        for b in range(B):
+            d = ((want_ctr[b][:, None] - p[b][None]) ** 2).sum(-1)
+            d[:, ~vmask[b]] = np.inf
+            kb = min(k, int(n_valid[b]))
+            want_sorted = np.sort(d, axis=-1)[:, :kb]
+            picked = np.take_along_axis(d, got[b], axis=-1)
+            assert (got[b] >= 0).all() and (got[b] < N).all()
+            if exact:
+                np.testing.assert_allclose(picked[:, :kb], want_sorted,
+                                           rtol=0, atol=0)
+            else:
+                # Approx: ascending order + recall floor.
+                assert (np.diff(picked, axis=-1) >= 0).all()
+                recall = np.mean(picked[:, :kb] <= want_sorted[:, -1:] + 0)
+                assert recall > 0.9
+
+    def test_fps_interp_knn_exact_small(self, rng):
+        # N_pad = 4096 = 8 * 512 bins -> one point per bin, exact kNN.
+        self._check_fps_interp_knn(
+            rng.standard_normal((1, 1500, 3)).astype(np.float32), 128, 16
+        )
+
+    def test_fps_interp_knn_valid_mask(self, rng):
+        pts = rng.standard_normal((1, 1500, 3)).astype(np.float32)
+        valid = np.ones((1, 1500), bool)
+        valid[:, 1100:] = False
+        self._check_fps_interp_knn(pts, 128, 16, valid=valid)
+
+    def test_fps_interp_knn_binned(self, rng):
+        # l_lanes=128 -> n_pad=2048, n8=256, chunks=2: exercises the fold.
+        self._check_fps_interp_knn(
+            rng.standard_normal((1, 1800, 3)).astype(np.float32),
+            128, 16, l_lanes=128, exact=False,
+        )
+
+    def test_fps_interp_knn_ties(self, rng):
+        base = rng.standard_normal((1, 700, 3)).astype(np.float32)
+        self._check_fps_interp_knn(np.tile(base, (1, 2, 1)), 128, 8)
+
     def test_fps_with_interp_fallback_cpu(self, rng):
         """Off-TPU the wrapper takes the two-pass path; semantics match."""
         pts = jnp.asarray(rng.standard_normal((1, 600, 3)).astype(np.float32))

@@ -107,6 +107,54 @@ def check_fps_interp():
             "  [N=100k, G=2048]")
 
 
+def check_fps_interp_knn():
+    """Whole-geometry fusion (FPS + centers + 3-NN interp + binned kNN in
+    one VMEM pass) at the flagship eval shape: selection/centers/interp
+    bit-exact vs the dedicated kernels; binned-kNN recall vs exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from point_sam_tpu.ops.distance import sq_dist
+    from point_sam_tpu.ops.fps_pallas import (
+        fps_interp_knn_pallas,
+        fps_interp_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    G, N, K = 2048, 100_000, 256
+    # Clustered cloud — the adversarial case for binned top-k recall.
+    cc = rng.standard_normal((64, 3)) * 0.4
+    pick = rng.integers(0, 64, size=N)
+    pts = jnp.asarray(cc[pick] + rng.standard_normal((N, 3)) * 0.02,
+                      jnp.float32)[None]
+    fps_idx, ctr, idx, d2, knn_idx = fps_interp_knn_pallas(pts, G, K)
+    want_fps, want_idx, want_d2 = fps_interp_pallas(pts, G)
+    assert np.array_equal(np.asarray(fps_idx), np.asarray(want_fps)), \
+        "fps selections differ from fps_interp_pallas"
+    want_ctr = np.take_along_axis(
+        np.asarray(pts), np.asarray(want_fps)[..., None], axis=1)
+    assert np.array_equal(np.asarray(ctr), want_ctr), "centers differ"
+    imatch = float((np.asarray(idx) == np.asarray(want_idx)).mean())
+    assert imatch == 1.0, f"3-NN idx match {imatch:.6f}"
+    assert np.array_equal(np.asarray(d2), np.asarray(want_d2)), \
+        "interp distances differ"
+    # kNN recall vs exact (row-block oracle).
+    q = jnp.asarray(want_ctr)
+    top = jax.jit(lambda qc: jax.lax.top_k(-sq_dist(qc, pts), K)[1])
+    exact_rows = [np.asarray(top(q[:, s:s + 512]))[0]
+                  for s in range(0, G, 512)]
+    ie = np.concatenate(exact_rows, 0)
+    ia = np.asarray(knn_idx)[0]
+    rec = np.mean([
+        len(np.intersect1d(ia[g], ie[g])) / K for g in range(0, G, 8)
+    ])
+    # Expected binned recall ~0.969 at 4096 bins; clustered clouds land
+    # lower. Floor matches the approx_min_k rt=0.9 contract.
+    assert rec >= 0.905, f"fused binned-kNN recall {rec:.3f} < 0.905 floor"
+    return (f"fps/interp bit-exact, knn recall {rec:.3f}  "
+            "[N=100k, G=2048, K=256]")
+
+
 def check_mha():
     import jax
     import jax.numpy as jnp
@@ -491,6 +539,7 @@ def main():
     print("compiling + checking kernels on the real chip:")
     _check("fps_pallas", check_fps)
     _check("fps_interp_pallas (fused)", check_fps_interp)
+    _check("fps_interp_knn_pallas (geom)", check_fps_interp_knn)
     _check("mha_pallas(+vjp)", check_mha)
     _check("mha_packed(+vjp)", check_mha_packed)
     _check("knn_approx (precision=high)", check_knn_approx)
