@@ -242,6 +242,13 @@ def main():
     model = PointCloudSAM(cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
 
     variables = init_variables(model, jax.random.PRNGKey(0))
+    if on_tpu:
+        # Bit-identical (flax casts kernels to bf16 per dispatch anyway);
+        # removes ~1.8 GB/dispatch of fp32->bf16 ViT-L weight-convert HBM
+        # traffic from every inference stage (models/pc_sam.py).
+        from point_sam_tpu.models import cast_params_for_inference
+
+        variables = cast_params_for_inference(variables)
     jax.block_until_ready(variables)
 
     def make_stack(iters, b):
@@ -426,6 +433,10 @@ def main():
         gmodel = for_inference(build_model(
             gcfg.model, dtype=jnp.bfloat16 if on_tpu else jnp.float32))
         gvars = init_variables(gmodel, jax.random.PRNGKey(3))
+        if on_tpu:
+            from point_sam_tpu.models import cast_params_for_inference
+
+            gvars = cast_params_for_inference(gvars)
         jax.block_until_ready(gvars)
         g_iters = 2 if small else 6
         cg, fg = make_stack(g_iters, 1)

@@ -23,7 +23,8 @@ from .pc_encoder import (
     PatchEmbedNN,
     PointCloudEncoder,
 )
-from .pc_sam import (PointCloudSAM, PointSAMConfig, for_inference,
+from .pc_sam import (PointCloudSAM, PointSAMConfig,
+                     cast_params_for_inference, for_inference,
                      for_sharded_eval,
                      init_variables)
 from .pc_sam_variants import (
@@ -70,6 +71,7 @@ __all__ = [
     "PointCloudEncoder",
     "PointCloudSAM",
     "PointSAMConfig",
+    "cast_params_for_inference",
     "for_inference",
     "for_sharded_eval",
     "init_variables",

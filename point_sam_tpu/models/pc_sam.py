@@ -90,6 +90,35 @@ def for_inference(model):
     return type(model)(_dc.replace(cfg, vit_remat=False), dtype=model.dtype)
 
 
+def cast_params_for_inference(variables, dtype=None):
+    """Pre-cast matmul kernels to the compute dtype for inference programs.
+
+    Every ``kernel`` leaf in this framework belongs to an ``nn.Dense`` whose
+    compute dtype is the model dtype (bf16 on TPU), so flax's promote_dtype
+    casts it fp32 -> bf16 inside EVERY dispatch anyway — pre-casting is
+    bit-identical and removes the per-dispatch HBM convert: at ViT-L that
+    convert reads ~1.2 GB fp32 and writes ~0.6 GB bf16 of weights per
+    encode (~2 ms of pure bandwidth on a v5e, none of it compute).
+    LayerNorm scale/bias (leaf names ``scale``/``bias``) and every other
+    fp32-consumed leaf are left untouched, so LN statistics and Pallas
+    kernels that take fp32 params keep exact numerics.
+
+    Training must NOT use this (fp32 master weights); it is applied by
+    serving/predictor.py and bench.py's inference stages.
+    """
+    import flax
+    import jax.numpy as _jnp
+
+    dtype = _jnp.bfloat16 if dtype is None else dtype
+    flat = flax.traverse_util.flatten_dict(variables)
+    flat = {
+        k: (v.astype(dtype)
+            if k[-1] == "kernel" and v.dtype == _jnp.float32 else v)
+        for k, v in flat.items()
+    }
+    return flax.traverse_util.unflatten_dict(flat)
+
+
 def for_sharded_eval(model, mesh, *, axis: str = "data"):
     """Copy of a Point-SAM module whose decoder shards the N-point upscale
     + hypernet matmul over ``mesh``'s ``axis`` (GSPMD constraints; see

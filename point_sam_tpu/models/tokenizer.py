@@ -104,14 +104,16 @@ def compute_geometry(
         # Fused on TPU: the FPS selection loop already computes every
         # center's distance field, so the 3-NN interp triplet falls out of
         # the same VMEM-resident pass (ops.fps_with_interp) instead of a
-        # second [N, G] distance sweep.
-        fps_idx, idx, w = fps_with_interp(
+        # second [N, G] distance sweep. Centers come out of the kernel too:
+        # a gathered kNN query fuses into the distance matmul with slow
+        # row-major layouts (+1.8 ms at N=100k; kbench11/12).
+        fps_idx, centers, idx, w = fps_with_interp(
             coords, cfg.num_patches, valid=point_valid,
-            candidates=cfg.fps_candidates)
+            candidates=cfg.fps_candidates, with_centers=True)
     else:
         fps_idx = fps(coords, cfg.num_patches, valid=point_valid,
                       candidates=cfg.fps_candidates)
-    centers = batch_index_select(coords, fps_idx, axis=1)
+        centers = batch_index_select(coords, fps_idx, axis=1)
     _, knn_idx = knn(centers, coords, cfg.patch_size, key_valid=point_valid,
                      method=cfg.knn_method,
                      recall_target=cfg.knn_recall_target)

@@ -148,8 +148,9 @@ def fps_with_interp(
     *,
     valid: jnp.ndarray | None = None,
     candidates: int | None = None,
+    with_centers: bool = False,
     eps: float = 1e-8,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+):
     """FPS + 3-NN interpolation geometry, fused into one kernel when possible.
 
     The FPS selection loop computes every selected center's distance to
@@ -163,9 +164,16 @@ def fps_with_interp(
     selection loop to a subset, so its distance fields no longer cover the
     full cloud), and on any kernel failure.
 
+    With ``with_centers`` the selected centers [B, G, 3] are returned as
+    the second element. On the fused TPU path they come out of the KERNEL
+    (bit-equal to a gather) — consuming them keeps XLA from fusing a
+    gathered kNN query into the distance matmul with slow row-major
+    layouts (+1.8 ms at the eval shape; kbench11/12).
+
     Returns:
         (fps_idx [B, G] int32, interp_idx [B, N, 3] int32,
-         interp_weight [B, N, 3] fp32).
+         interp_weight [B, N, 3] fp32) — with ``with_centers``:
+        (fps_idx, centers [B, G, 3] f32, interp_idx, interp_weight).
     """
     N = points.shape[-2]
     fused_ok = (
@@ -179,11 +187,18 @@ def fps_with_interp(
         try:
             from .fps_pallas import fps_interp_pallas
 
-            fps_idx, idx, d2 = fps_interp_pallas(
-                points, num_samples, valid=valid
-            )
+            if with_centers:
+                fps_idx, centers, idx, d2 = fps_interp_pallas(
+                    points, num_samples, valid=valid, with_centers=True
+                )
+            else:
+                fps_idx, idx, d2 = fps_interp_pallas(
+                    points, num_samples, valid=valid
+                )
             inv = 1.0 / jnp.maximum(d2, eps)
             weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
+            if with_centers:
+                return fps_idx, centers, idx, weight
             return fps_idx, idx, weight
         except Exception as exc:  # pragma: no cover - Mosaic regressions
             from ._warn import warn_fallback
@@ -194,6 +209,8 @@ def fps_with_interp(
     fps_idx = fps(points, num_samples, valid=valid, candidates=candidates)
     centers = jnp.take_along_axis(points, fps_idx[..., None], axis=1)
     idx, weight = compute_interp_weights(points, centers, eps=eps)
+    if with_centers:
+        return fps_idx, centers, idx, weight
     return fps_idx, idx, weight
 
 

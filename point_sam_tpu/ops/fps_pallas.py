@@ -135,9 +135,9 @@ def _fps_kernel(first_ref, xyz_ref, mind0_ref, out_ref, mind_ref, col_ref,
         jax.lax.fori_loop(1, num_samples, body, tuple(firsts))
 
 
-def _fps_interp_kernel(first_ref, xyz_ref, mind0_ref, out_ref, b3d_ref,
-                       b3i_ref, mind_ref, col_ref, *, num_samples: int,
-                       n8: int, rows: int):
+def _fps_interp_kernel(first_ref, xyz_ref, mind0_ref, out_ref, ctr_ref,
+                       b3d_ref, b3i_ref, mind_ref, col_ref, *,
+                       num_samples: int, n8: int, rows: int):
     """FPS fused with exact 3-NN center search (interp geometry).
 
     Identical selection loop to ``_fps_kernel`` — same stages, same
@@ -159,6 +159,14 @@ def _fps_interp_kernel(first_ref, xyz_ref, mind0_ref, out_ref, b3d_ref,
     less-than inserts after equal entries; centers are inserted in slot
     order), matching compute_interp_weights' first-index tie-break.
 
+    ``ctr`` [rows, 8, G] f32 VMEM output: sublanes 0/1/2 hold x/y/z of
+    center slot g at lane g (exact extracted fp32 — bit-equal to a
+    gather). Emitting centers from the kernel makes the downstream kNN
+    query an opaque kernel OUTPUT instead of a gather: XLA fuses a
+    gathered query into the kNN distance matmul with row-major operand
+    layouts, +1.8 ms at the eval shape (scripts/kbench11/12). The store
+    is an O(128) aligned blend per step, off the selection critical path.
+
     The selection loop runs one extra iteration (g = num_samples) so the
     LAST selected center's distance field — which plain FPS never needs —
     is computed and folded into the best-3; the out-of-range selection
@@ -166,12 +174,15 @@ def _fps_interp_kernel(first_ref, xyz_ref, mind0_ref, out_ref, b3d_ref,
     """
     base = pl.program_id(0) * rows
     mind_ref[:] = mind0_ref[:]
+    ctr_ref[:] = jnp.zeros_like(ctr_ref)
     b3d_ref[:] = jnp.full_like(b3d_ref, jnp.inf)
     b3i_ref[:] = jnp.zeros_like(b3i_ref)
     col_ref[:] = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 1)
     row8 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, 1), 0)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
     row128 = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
+    lane_g = (jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, num_samples), 1)
+              if num_samples < _LANES else None)
 
     firsts = []
     for b in range(rows):
@@ -180,7 +191,9 @@ def _fps_interp_kernel(first_ref, xyz_ref, mind0_ref, out_ref, b3d_ref,
         firsts.append(f)
 
     def body(g, sels):
-        # Stage 1 — extract each row's current center (O(128) work).
+        gi = g - 1  # slot of the center whose distances this step computes
+        # Stage 1 — extract each row's current center (O(128) work) and
+        # blend-store it into the ctr output (aligned [8, 128] block).
         centers = []
         for b in range(rows):
             sel = sels[b]
@@ -198,11 +211,23 @@ def _fps_interp_kernel(first_ref, xyz_ref, mind0_ref, out_ref, b3d_ref,
                 axis=(0, 1),
                 keepdims=True,
             )
+            coef = (
+                jnp.where(row8 == 0, cx, 0.0)
+                + jnp.where(row8 == 1, cy, 0.0)
+                + jnp.where(row8 == 2, cz, 0.0)
+            )  # [8, 1]
+            if num_samples >= _LANES:
+                off = pl.multiple_of((gi // _LANES) * _LANES, _LANES)
+                cblk = ctr_ref[b, :, pl.ds(off, _LANES)]
+                ctr_ref[b, :, pl.ds(off, _LANES)] = jnp.where(
+                    lane128 == gi - off, coef, cblk
+                )
+            else:
+                ctr_ref[b] = jnp.where(lane_g == gi, coef, ctr_ref[b])
             centers.append((cx, cy, cz))
         # Stage 2 — full-width distance update + per-row running max,
         # plus the best-3 insertion of (d, g-1). The insertion feeds
         # nothing this step, so it hides under the reduction latencies.
-        gi = g - 1  # slot of the center whose distances this step computes
         maxes = []
         for b in range(rows):
             cx, cy, cz = centers[b]
@@ -516,23 +541,34 @@ def fps_interp_knn_pallas(
     return idx, ctr, from_cells(b3i), from_cells(b3d), knn_idx
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "with_centers", "interpret")
+)
 def fps_interp_pallas(
     points: jnp.ndarray,
     num_samples: int,
     *,
     valid: jnp.ndarray | None = None,
+    with_centers: bool = False,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+):
     """FPS + exact 3-NN interp geometry in ONE VMEM-resident pass.
 
     Same selection semantics as ``fps_pallas`` (bit-exact indices); the
     3-NN squared distances use the identical explicit-difference fp32
     formula as ops/interp_pallas.py (bit-exact vs that kernel).
 
+    With ``with_centers`` the kernel's center coordinates output is also
+    returned (bit-equal to gathering ``points`` at ``fps_idx``): consuming
+    it instead of a gather keeps XLA from fusing a gathered query into the
+    downstream kNN distance matmul with slow row-major layouts (+1.8 ms at
+    N=100k/G=2048, scripts/kbench11/12).
+
     Returns:
         (fps_idx [B, G] int32, interp_idx [B, N, 3] int32 center slots,
-         interp_d [B, N, 3] fp32 squared distances, ascending).
+         interp_d [B, N, 3] fp32 squared distances, ascending)
+        — or, with ``with_centers``, (fps_idx, centers [B, G, 3] f32,
+        interp_idx, interp_d).
     """
     if points.dtype != jnp.float32:
         points = points.astype(jnp.float32)
@@ -580,6 +616,8 @@ def fps_interp_pallas(
         out_specs=[
             pl.BlockSpec((b_pad, num_samples), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, _SUBLANES, num_samples),
+                         lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((rows, 3 * _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((rows, 3 * _SUBLANES, n8), lambda i, *_: (i, 0, 0)),
         ],
@@ -592,11 +630,13 @@ def fps_interp_pallas(
     kernel = functools.partial(
         _fps_interp_kernel, num_samples=num_samples, n8=n8, rows=rows
     )
-    idx, b3d, b3i = pl.pallas_call(
+    idx, ctr, b3d, b3i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b_pad, num_samples), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, _SUBLANES, num_samples),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((b_pad, 3 * _SUBLANES, n8), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, 3 * _SUBLANES, n8), jnp.int32),
         ],
@@ -612,6 +652,9 @@ def fps_interp_pallas(
         ]
         return jnp.stack(parts, axis=-1)
 
+    if with_centers:
+        centers = jnp.moveaxis(ctr[:B, :3], 1, 2)  # [B, G, 3]
+        return idx[:B], centers, from_cells(b3i), from_cells(b3d)
     return idx[:B], from_cells(b3i), from_cells(b3d)
 
 

@@ -58,9 +58,16 @@ class Predictor:
         point_buckets=DEFAULT_POINT_BUCKETS,
         max_prompts: int = 64,
     ):
-        from ..models import for_inference
+        import jax.numpy as jnp
+
+        from ..models import cast_params_for_inference, for_inference
 
         self.model = for_inference(model)
+        # Pre-cast matmul kernels to the compute dtype: bit-identical (flax
+        # casts them per dispatch anyway) and removes ~2 ms/encode of
+        # fp32->bf16 weight-convert HBM traffic at ViT-L (models/pc_sam.py).
+        if self.model.dtype == jnp.bfloat16:
+            variables = cast_params_for_inference(variables)
         self.variables = variables
         self.point_buckets = tuple(point_buckets)
         self.max_prompts = max_prompts

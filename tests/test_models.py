@@ -297,6 +297,40 @@ class TestPointCloudSAM:
         assert masks.shape == (B, 3, N)
         assert ious.shape == (B, 3)
 
+    def test_cast_params_for_inference_bit_identical(self, rng):
+        """Pre-casting kernels to bf16 must be BIT-identical on a bf16
+        model (flax promotes them to bf16 inside every Dense anyway) and
+        must leave LayerNorm scale/bias fp32 (consumed in fp32 stats)."""
+        import flax
+
+        coords, feats, gt = make_inputs(rng, B=1, N=128, M=1)
+        model = PointCloudSAM(
+            PointSAMConfig(vit="tiny", tokenizer=TokenizerConfig(16, 8),
+                           prompt_iters=2),
+            dtype=jnp.bfloat16,
+        )
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampler": jax.random.PRNGKey(1)},
+            coords, feats, gt,
+        )
+        cast = models.cast_params_for_inference(variables)
+        flat = flax.traverse_util.flatten_dict(cast)
+        assert any(v.dtype == jnp.bfloat16 for k, v in flat.items()
+                   if k[-1] == "kernel")
+        assert all(v.dtype == jnp.float32 for k, v in flat.items()
+                   if k[-1] in ("scale", "bias"))
+        pc = jnp.zeros((1, 1, 3))
+        pl = jnp.ones((1, 1), bool)
+        m0, i0 = model.apply(variables, coords, feats, pc, pl,
+                             method=model.predict_masks)
+        m1, i1 = model.apply(cast, coords, feats, pc, pl,
+                             method=model.predict_masks)
+        np.testing.assert_array_equal(np.asarray(m0, np.float32),
+                                      np.asarray(m1, np.float32))
+        np.testing.assert_array_equal(np.asarray(i0, np.float32),
+                                      np.asarray(i1, np.float32))
+
     def test_loss_and_grad_finite(self, model_and_vars):
         model, variables, (coords, feats, gt) = model_and_vars
         B, M, N = gt.shape

@@ -248,6 +248,17 @@ class TestFPS:
         w = inv / inv.sum(-1, keepdims=True)
         np.testing.assert_allclose(w, np.asarray(want_w), rtol=1e-6, atol=1e-7)
 
+        # with_centers: the kernel's blend-stored centers must be BIT-equal
+        # to gathering the points at fps_idx, and the other outputs must be
+        # unchanged.
+        fps2, ctr, idx2, d22 = fps_interp_pallas(
+            pts, G, valid=v, with_centers=True, interpret=True
+        )
+        assert (np.asarray(fps2) == want_fps).all()
+        np.testing.assert_array_equal(np.asarray(ctr), centers)
+        assert (np.asarray(idx2) == np.asarray(want_idx)).all()
+        np.testing.assert_array_equal(np.asarray(d22), np.asarray(d2))
+
     def test_fps_interp_pallas_matches(self, rng):
         self._check_fps_interp(
             rng.standard_normal((2, 1500, 3)).astype(np.float32), 128

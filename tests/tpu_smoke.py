@@ -89,13 +89,15 @@ def check_fps_interp():
 
     rng = np.random.default_rng(7)
     pts = jnp.asarray(rng.standard_normal((1, 100_000, 3)), jnp.float32)
-    fps_idx, idx, d2 = fps_interp_pallas(pts, 2048)
+    fps_idx, ctr, idx, d2 = fps_interp_pallas(pts, 2048, with_centers=True)
     want_fps = np.asarray(fps_xla(pts, 2048))
     if not np.array_equal(np.asarray(fps_idx), want_fps):
         n = int((np.asarray(fps_idx) != want_fps).sum())
         raise AssertionError(f"fps selections differ on {n}/{want_fps.size}")
     centers = jnp.take_along_axis(pts, jnp.asarray(want_fps)[..., None],
                                   axis=1)
+    if not np.array_equal(np.asarray(ctr), np.asarray(centers)):
+        raise AssertionError("kernel centers != gathered centers")
     want_idx, want_w = interp_weights_pallas(pts, centers)
     imatch = float((np.asarray(idx) == np.asarray(want_idx)).mean())
     inv = 1.0 / np.maximum(np.asarray(d2, np.float64), 1e-8)
